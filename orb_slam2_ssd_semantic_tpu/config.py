@@ -1,0 +1,448 @@
+"""Configuration for the TPU SLAM engine.
+
+Covers the reference's full YAML key surface (SURVEY.md §2.7: Camera.*,
+ThDepth, DepthMapFactor, ORBextractor.*, octoMap.res, Dynamic.flow,
+PointCloudMapping.Resolution — read in perfect/src/Tracking.cc:431-561)
+and additionally lifts the constants the reference hardcodes in source
+(match thresholds, RANSAC iterations, culling rules, fusion gates) into
+explicit config fields, as called out in SURVEY.md §2.7.
+
+Everything is a frozen dataclass so configs can be closed over by jitted
+functions as static values. Capacity fields (``max_*``) define the fixed
+array shapes of the device-resident state; they have no analogue in the
+reference, whose STL containers grow without bound.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics (reference: Camera.* yaml keys)."""
+
+    fx: float = 535.4
+    fy: float = 539.2
+    cx: float = 320.1
+    cy: float = 247.6
+    # Radial/tangential distortion (k1 k2 p1 p2 k3). TUM3 is rectified.
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    # Stereo baseline times fx (reference Camera.bf; TUM3.yaml: 40.0).
+    bf: float = 40.0
+    # 1 if images are RGB order, 0 if BGR.
+    rgb: int = 1
+    # Depth threshold multiplier: close/far split at bf*th_depth/fx meters
+    # (reference ThDepth=40 → ~3 m; perfect/src/Tracking.cc:545).
+    th_depth: float = 40.0
+    # Raw depth units per meter (5000 TUM / 1000 TY; Tracking.cc:556-560).
+    depth_map_factor: float = 5000.0
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+    @property
+    def depth_threshold(self) -> float:
+        """Max depth considered 'close' (reliable) in meters."""
+        return self.bf * self.th_depth / self.fx
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor settings (reference ORBextractor.* yaml keys,
+    perfect/src/ORBextractor.cc:399-478)."""
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # Descriptor patch: IC-angle half patch 15, BRIEF patch 31
+    # (ORBextractor.cc:52-54).
+    half_patch_size: int = 15
+    patch_size: int = 31
+    edge_threshold: int = 19
+    # Grid cell size in pixels for FAST candidate binning
+    # (reference uses 30 px cells, ORBextractor.cc:771+).
+    cell_size: int = 16
+    # Fixed capacity for padded keypoint arrays (n_features rounded up
+    # to a TPU-friendly multiple).
+    max_keypoints: int = 1024
+    # Per-cell candidate cap before cross-level top-k selection.
+    max_per_cell: int = 4
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching thresholds (perfect/src/ORBmatcher.cc:40-49)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    nn_ratio: float = 0.9
+    # Rotation-consistency histogram (ORBmatcher.cc:2068): keep the 3
+    # largest of 30 bins.
+    histo_length: int = 30
+    check_orientation: bool = True
+    # Projection search radius in pixels (th parameter of
+    # SearchByProjection; 15 for mono seeds, 7 with motion model).
+    search_radius: float = 7.0
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Tracking-thread heuristics (perfect/src/Tracking.cc)."""
+
+    # Min matches to accept motion-model / reference-KF tracking
+    # (Tracking.cc:1940-1990).
+    min_matches_track: int = 20
+    # Min inliers after pose optimization (Tracking.cc:2000).
+    min_inliers_track: int = 10
+    # Min inliers for TrackLocalMap success (Tracking.cc:2166-2180).
+    min_inliers_local_map: int = 30
+    # Keyframe insertion throttle: reference doubles stock max
+    # (mMaxFrames*2, Tracking.cc:2386) — max_frames is fps.
+    min_frames_between_kfs: int = 0
+    max_frames_between_kfs: int = 30
+    # Reference-to-KF tracked-point ratio below which a new KF is needed
+    # (Tracking.cc:2423-2480 map-overlap ratio test).
+    kf_ref_ratio: float = 0.9
+    # Close-point bookkeeping for RGB-D KF decision (Tracking.cc:2430).
+    min_close_points: int = 100
+    max_non_tracked_close: int = 70
+    # Relocalization: min inliers to accept (Tracking.cc:2714+).
+    min_inliers_reloc: int = 50
+    # Auto reset if LOST with <= this many keyframes (Tracking.cc:1153).
+    reset_if_lost_with_kfs: int = 5
+    # Max new map points spawned from close depth per KF
+    # (Tracking.cc:2548-2605 caps at 100 when many close points).
+    max_new_points_per_kf: int = 100
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Nonlinear optimization schedules (perfect/src/Optimizer.cc)."""
+
+    # Motion-only BA: 4 rounds x 10 iterations, chi2 gates
+    # (Optimizer.cc:365-593; mono 5.991, stereo/depth 7.815).
+    pose_rounds: int = 4
+    pose_iters_per_round: int = 10
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    huber_delta_mono: float = 2.4477  # sqrt(5.991)
+    huber_delta_stereo: float = 2.7955  # sqrt(7.815)
+    # Local BA: 5 + 10 iteration schedule (Optimizer.cc:843-886).
+    local_ba_iters_initial: int = 5
+    local_ba_iters_refine: int = 10
+    # Global BA iterations on loop closure (LoopClosing.cc:831).
+    global_ba_iters: int = 10
+    # Essential-graph optimization iterations (Optimizer.cc:995+).
+    essential_graph_iters: int = 20
+    # Levenberg-Marquardt damping bounds.
+    lm_lambda_init: float = 1e-4
+    lm_lambda_max: float = 1e2
+    lm_lambda_min: float = 1e-8
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities for the device-resident map state. The reference
+    grows STL containers unboundedly (SURVEY.md §7 'hard parts' #1); we
+    pre-allocate and mask."""
+
+    max_keyframes: int = 512
+    max_map_points: int = 32768
+    # Bounded covisibility degree per keyframe (reference: full weight
+    # map, KeyFrame.h:54-64; we keep top-k neighbors by weight).
+    max_covis_neighbors: int = 32
+    covis_weight_threshold: int = 15
+    # Local BA window (covisible KFs of the new KF; Optimizer.cc:624-636).
+    local_ba_window: int = 16
+    local_ba_max_points: int = 4096
+    # Map point culling (LocalMapping.cc:270): found/visible < 0.25.
+    min_found_ratio: float = 0.25
+    # KF culling redundancy threshold (LocalMapping.cc:764): 90%.
+    kf_redundancy_ratio: float = 0.9
+    # Observations needed before a point is safe from culling.
+    min_observations: int = 3
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing / place recognition (perfect/src/LoopClosing.cc,
+    KeyFrameDatabase.cc)."""
+
+    # Consecutive consistent detections required (LoopClosing.cc:52).
+    covisibility_consistency_th: int = 3
+    # Candidate score must exceed 0.8 x best (KeyFrameDatabase.cc:76-197
+    # uses minScore from covis; plus 0.75*bestAccScore accumulation).
+    score_ratio: float = 0.75
+    # Sim3 RANSAC (LoopClosing.cc:330): 300 iters, 20 inliers.
+    sim3_ransac_iters: int = 300
+    sim3_min_inliers: int = 20
+    # Matches needed to accept loop after guided search
+    # (LoopClosing.cc:522: >= 40).
+    min_total_matches: int = 40
+    # KFs skipped after map init before loop detection (LoopClosing.cc:129).
+    min_kfs_before_loop: int = 10
+    # Binary global descriptor dimensionality for place recognition
+    # (TPU-native replacement of the 1M-node DBoW2 tree; SURVEY.md §7
+    # hard part #6).
+    global_desc_dim: int = 256
+
+
+@dataclass(frozen=True)
+class DynamicConfig:
+    """Dynamic-environment filter (perfect/src/Flow.cc, Geometry.cc)."""
+
+    enable_flow: bool = False
+    enable_geometry: bool = False
+    # Squared flow-magnitude threshold (Dynamic.flow yaml key; floor 40,
+    # shipped 70 — Flow.cc:19,37, my_rgbd_ty_api_adj.yaml:88).
+    flow_threshold: float = 70.0
+    flow_threshold_floor: float = 40.0
+    # Morphology kernel (Flow.cc:42-48): ellipse 21x21, erode x2 + dilate.
+    flow_morph_kernel: int = 21
+    # Flow runs at half resolution (Flow.cc:21 pyrDown).
+    flow_downscale: int = 2
+    # Geometry DB of last 20 KFs, 5 reference frames chosen by
+    # 0.7*dist+0.3*rot score (Geometry.h:19, Geometry.cc:83-127).
+    geom_db_size: int = 20
+    geom_ref_frames: int = 5
+    # Back-projection depth gates (Geometry.cc:171,301).
+    geom_max_ref_depth: float = 6.0
+    geom_max_cur_depth: float = 7.0
+    # Parallax gate in degrees (Geometry.cc:211-228).
+    geom_max_parallax_deg: float = 30.0
+    # Dynamic if |projected - measured depth| > 0.6 m with patch depth
+    # variance < 1e-3 over a 20x20 patch (Geometry.cc:378-461).
+    geom_depth_diff_th: float = 0.6
+    geom_patch_var_th: float = 1e-3
+    geom_patch_size: int = 20
+    # Region growing threshold 0.2 m, dilate 31x31 (Geometry.cc:475-518).
+    geom_grow_threshold: float = 0.2
+    geom_grow_iters: int = 16
+    geom_dilate_kernel: int = 31
+    # Border margin for reprojection (Geometry.cc:586-593).
+    geom_border: int = 20
+    # Frame is usable only if >= 65% of the image area is static
+    # (Frame.cc:357-374 static-area check before keypoint masking).
+    min_static_area: float = 0.65
+
+
+@dataclass(frozen=True)
+class SemanticConfig:
+    """SSD detection + object database (perfect/src/Detector.cc,
+    ObjectDatabase.cc, Merge2d3d.cc, MergeSG.cc)."""
+
+    # Detector input resolution (Detector.cc:30).
+    det_input_size: int = 300
+    num_classes: int = 21  # VOC-20 + background (Detector.cc:52-57)
+    # Detection probability gate for fusion (Merge2d3d.cc:48).
+    fusion_prob_threshold: float = 0.54
+    # Detection score threshold for keeping raw boxes.
+    det_score_threshold: float = 0.5
+    det_nms_iou: float = 0.45
+    max_detections: int = 32
+    # ObjectDatabase capacity + per-class merge radii
+    # (ObjectDatabase.cc:22-43): bottle 0.06, chair 0.5, person 0.35,
+    # tvmonitor 0.25, default 0.6 (meters).
+    max_objects: int = 256
+    default_merge_radius: float = 0.6
+    # Depth-window fusion (Merge2d3d.cc:55-97): central 30-70% box for
+    # mean depth, +-0.2 m window over central 20-80%.
+    fusion_depth_window: float = 0.2
+    # Segmentation fusion (MergeSG.cc:29-31,367-408): plane >= 10000
+    # inliers, cluster >= 1000 points, 0.01 m cluster tolerance.
+    seg_min_plane_inliers: int = 10000
+    seg_min_cluster_size: int = 1000
+    seg_cluster_tolerance: float = 0.01
+    max_clusters: int = 64
+
+
+@dataclass(frozen=True)
+class DenseMapConfig:
+    """Occupancy (octomap-equivalent) mapping (perfect/src/MapDrawer.cc)."""
+
+    # Voxel resolution (octoMap.res; my_rgbd_ty_api_adj.yaml:82).
+    resolution: float = 0.05
+    # Log-odds model (MapDrawer.cc:51-56): hit 0.7, miss 0.4, clamp
+    # 0.12 / 0.97 (probabilities).
+    prob_hit: float = 0.7
+    prob_miss: float = 0.4
+    clamp_min: float = 0.12
+    clamp_max: float = 0.97
+    occupancy_threshold: float = 0.8  # render gate (MapDrawer.cc:394-412)
+    # Point cloud depth gates (MapDrawer.cc:780-810): 0.5-4 m, |y|<3 m.
+    cloud_min_depth: float = 0.5
+    cloud_max_depth: float = 4.0
+    cloud_max_y: float = 3.0
+    # Cloud decimation stride (legacy pointcloudmapping.cc used 3).
+    cloud_stride: int = 2
+    # Ground RANSAC (MapDrawer.cc:849-939): 200 iters, 0.04 m inlier,
+    # plane offset |d|>0.07 => ground.
+    ground_ransac_iters: int = 200
+    ground_inlier_threshold: float = 0.04
+    ground_min_offset: float = 0.07
+    # Dense block map: world is tiled into blocks of block_size^3 voxels.
+    block_size: int = 16
+    max_blocks: int = 8192
+    # Raycast step cap (DDA) in voxels.
+    max_ray_steps: int = 128
+    voxel_leaf_size: float = 0.01  # voxel filter before insertion
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-chip sharding (no reference analogue; SURVEY.md §2.6 P12)."""
+
+    # Mesh axis names: keyframe-parallel and point-parallel.
+    kf_axis: str = "kf"
+    pt_axis: str = "pt"
+    # Default mesh shape (total devices = product).
+    mesh_shape: tuple = (1, 1)
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Top-level engine configuration."""
+
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: OrbConfig = field(default_factory=OrbConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    dynamic: DynamicConfig = field(default_factory=DynamicConfig)
+    semantic: SemanticConfig = field(default_factory=SemanticConfig)
+    dense: DenseMapConfig = field(default_factory=DenseMapConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kwargs: Any) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    # ---- serialization ----------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SlamConfig":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name in d:
+                sub = d[f.name]
+                sub_cls = f.default_factory  # type: ignore[misc]
+                if dataclasses.is_dataclass(sub_cls()):
+                    known = {x.name for x in dataclasses.fields(sub_cls())}
+                    filtered = {k: v for k, v in sub.items() if k in known}
+                    if "mesh_shape" in filtered:
+                        filtered["mesh_shape"] = tuple(filtered["mesh_shape"])
+                    kwargs[f.name] = sub_cls(**filtered)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SlamConfig":
+        return cls.from_dict(json.loads(s))
+
+    @classmethod
+    def from_opencv_yaml(cls, path: str) -> "SlamConfig":
+        """Load a reference-format settings file (OpenCV FileStorage YAML
+        with keys like ``Camera.fx``; perfect/Examples/RGB-D/TUM3.yaml).
+        Provides drop-in compatibility for users of the reference."""
+        flat = _parse_opencv_yaml(path)
+
+        def get(key: str, default: Any) -> Any:
+            return flat.get(key, default)
+
+        cam = CameraConfig(
+            fx=float(get("Camera.fx", 535.4)),
+            fy=float(get("Camera.fy", 539.2)),
+            cx=float(get("Camera.cx", 320.1)),
+            cy=float(get("Camera.cy", 247.6)),
+            k1=float(get("Camera.k1", 0.0)),
+            k2=float(get("Camera.k2", 0.0)),
+            p1=float(get("Camera.p1", 0.0)),
+            p2=float(get("Camera.p2", 0.0)),
+            k3=float(get("Camera.k3", 0.0)),
+            width=int(get("Camera.width", 640)),
+            height=int(get("Camera.height", 480)),
+            fps=float(get("Camera.fps", 30.0)),
+            bf=float(get("Camera.bf", 40.0)),
+            rgb=int(get("Camera.RGB", 1)),
+            th_depth=float(get("ThDepth", 40.0)),
+            depth_map_factor=float(get("DepthMapFactor", 5000.0)),
+        )
+        orb = OrbConfig(
+            n_features=int(get("ORBextractor.nFeatures", 1000)),
+            scale_factor=float(get("ORBextractor.scaleFactor", 1.2)),
+            n_levels=int(get("ORBextractor.nLevels", 8)),
+            ini_th_fast=int(get("ORBextractor.iniThFAST", 20)),
+            min_th_fast=int(get("ORBextractor.minThFAST", 7)),
+        )
+        dyn = DynamicConfig(
+            flow_threshold=float(get("Dynamic.flow", 70.0)),
+        )
+        dense = DenseMapConfig(
+            resolution=float(get("octoMap.res", 0.05)),
+            voxel_leaf_size=float(get("PointCloudMapping.Resolution", 0.01)),
+        )
+        return cls(camera=cam, orb=orb, dynamic=dyn, dense=dense)
+
+
+def _parse_opencv_yaml(path: str) -> dict:
+    """Parse the `key: value` subset of OpenCV FileStorage YAML used by
+    the reference settings files (skips the %YAML directive and any
+    nested structures)."""
+    flat: dict = {}
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.split("#", 1)[0].rstrip()
+            if not line or line.startswith("%") or ":" not in line:
+                continue
+            if line.startswith((" ", "\t", "-")):
+                continue
+            key, _, val = line.partition(":")
+            val = val.strip()
+            if not val or val.startswith(("[", "{", "!!")):
+                continue
+            try:
+                flat[key.strip()] = float(val) if "." in val or "e" in val.lower() else int(val)
+            except ValueError:
+                flat[key.strip()] = val.strip('"')
+    return flat
+
+
+# Preset matching the reference's TUM fr3 operating point
+# (perfect/Examples/RGB-D/TUM3.yaml).
+TUM3 = SlamConfig()
+
+# TUM fr1 intrinsics (perfect/Examples/RGB-D/TUM1.yaml).
+TUM1 = SlamConfig(
+    camera=CameraConfig(
+        fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
+        k1=0.262383, k2=-0.953104, p1=-0.005358, p2=0.002628, k3=1.163314,
+    )
+)
+
+# TUM fr2 intrinsics (perfect/Examples/RGB-D/TUM2.yaml).
+TUM2 = SlamConfig(
+    camera=CameraConfig(
+        fx=520.908620, fy=521.007327, cx=325.141442, cy=249.701764,
+        k1=0.231222, k2=-0.784899, p1=-0.003257, p2=-0.000105, k3=0.917205,
+    )
+)

@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+logic is exercised without TPU hardware (SURVEY.md §4 implication:
+multi-host tests on CPU meshes via xla_force_host_platform_device_count).
+
+The ambient environment boots an `axon` remote-TPU PJRT plugin through
+sitecustomize and pins the platform to it (each op costs seconds of
+remote-compile latency). Env vars are overridden by that hook, so we
+must win the race via jax.config before any backend initializes;
+bench.py is what runs on the real chip.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU, not the TPU tunnel"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_TOOL = "/root/reference/tool"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
