@@ -1,0 +1,121 @@
+"""ORB feature extraction pipeline: pyramid -> FAST -> uniform selection
+-> IC angle -> steered BRIEF, all jitted with static shapes.
+
+The TPU-native re-architecture of ORBextractor::operator()
+(perfect/src/ORBextractor.cc:1052-1115): instead of per-cell OpenCV calls
+and a recursive quadtree, each pyramid level is processed as dense
+whole-image tensor work, and keypoints land in fixed-capacity padded
+arrays with validity masks (SURVEY.md §7 stage 1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import OrbConfig
+from orb_slam2_ssd_semantic_tpu.ops import fast as fast_ops
+from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
+from orb_slam2_ssd_semantic_tpu.ops import select as select_ops
+from orb_slam2_ssd_semantic_tpu.ops.orb_descriptor import ic_angle, steered_brief
+
+
+class Features(NamedTuple):
+    """Fixed-capacity keypoint set for one image (the engine's equivalent
+    of the reference Frame's mvKeysUn/mDescriptors/mvDepth columns).
+
+    All arrays have leading dim K = OrbConfig.max_keypoints; `valid`
+    masks real entries.
+    """
+
+    uv: jnp.ndarray  # (K, 2) float32, level-0 pixel coords [x, y]
+    level: jnp.ndarray  # (K,) int32 pyramid level
+    angle: jnp.ndarray  # (K,) float32 radians
+    score: jnp.ndarray  # (K,) float32 FAST corner score
+    desc: jnp.ndarray  # (K, 8) uint32 packed 256-bit descriptor
+    valid: jnp.ndarray  # (K,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def scale_factors(cfg: OrbConfig) -> jnp.ndarray:
+    """(L,) per-level scale (1.2^l), reference mvScaleFactor."""
+    return jnp.asarray([cfg.scale_factor**i for i in range(cfg.n_levels)], dtype=jnp.float32)
+
+
+def sigma2_per_level(cfg: OrbConfig) -> jnp.ndarray:
+    """(L,) per-level variance scale^2l, reference mvLevelSigma2 — the
+    measurement covariance used to weight BA residuals."""
+    return scale_factors(cfg) ** 2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
+    """Extract ORB features from a grayscale image (H, W) float32 [0,255].
+
+    Output coordinates are level-0 pixel units (keypoints from level l
+    are multiplied by scale^l, as in ORBextractor.cc:1098-1103).
+    """
+    h, w = img.shape
+    quotas = select_ops.level_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
+    levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+
+    per_level = []
+    for lvl, (lv_img, quota) in enumerate(zip(levels, quotas)):
+        score = fast_ops.fast_score_map(lv_img)
+        score = fast_ops.nms3x3(score)
+        uv, s, valid = select_ops.select_keypoints(
+            score,
+            float(cfg.ini_th_fast),
+            float(cfg.min_th_fast),
+            cell_size=cfg.cell_size,
+            max_per_cell=cfg.max_per_cell,
+            quota=max(quota, 1),
+            border=cfg.edge_threshold,
+        )
+        ang = ic_angle(lv_img, uv, valid)
+        blurred = image_ops.gaussian_blur(lv_img, 7, 2.0)
+        desc = steered_brief(blurred, uv, ang, valid)
+        scale = cfg.scale_factor**lvl
+        per_level.append(
+            Features(
+                uv=uv * scale,
+                level=jnp.full((uv.shape[0],), lvl, dtype=jnp.int32),
+                angle=ang,
+                score=s,
+                desc=desc,
+                valid=valid,
+            )
+        )
+
+    feats = Features(*[jnp.concatenate([getattr(f, n) for f in per_level], axis=0)
+                       for n in Features._fields])
+
+    # Pad / trim to the fixed capacity.
+    k = cfg.max_keypoints
+    n = feats.uv.shape[0]
+    if n < k:
+        pad = k - n
+        feats = Features(
+            uv=jnp.pad(feats.uv, ((0, pad), (0, 0))),
+            level=jnp.pad(feats.level, (0, pad)),
+            angle=jnp.pad(feats.angle, (0, pad)),
+            score=jnp.pad(feats.score, (0, pad)),
+            desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
+            valid=jnp.pad(feats.valid, (0, pad)),
+        )
+    elif n > k:
+        # Keep the strongest overall (never triggers with default config:
+        # sum(quotas) == n_features <= max_keypoints).
+        key = jnp.where(feats.valid, feats.score, -jnp.inf)
+        _, idx = jax.lax.top_k(key, k)
+        feats = jax.tree.map(lambda a: a[idx], feats)
+    return feats
