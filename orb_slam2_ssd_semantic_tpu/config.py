@@ -48,6 +48,18 @@ class CameraConfig:
     # Raw depth units per meter (5000 TUM / 1000 TY; Tracking.cc:556-560).
     depth_map_factor: float = 5000.0
 
+    # Virtual baseline-times-fx used to WEIGHT the depth residual in
+    # optimization. The reference folds RGB-D depth into a virtual right
+    # image with uR = u - bf/z (EdgeStereoSE3ProjectXYZ) — with bf=40
+    # (7.5 cm baseline) a multi-centimeter depth error projects to well
+    # under a pixel at 3 m, so depth barely constrains the pose and the
+    # estimator can slide along the {z, pitch/yaw} near-null mode of a
+    # fronto-parallel scene. A measured-depth sensor deserves a stronger
+    # weight: uR computed with depth_bf=400 is equivalent to a direct
+    # depth residual with sigma_z = sigma_px * z^2 / depth_bf (~2 cm at
+    # 3 m, Kinect-like). Deliberate improvement over the reference.
+    depth_bf: float = 400.0
+
     @property
     def baseline(self) -> float:
         return self.bf / self.fx
@@ -94,9 +106,13 @@ class MatcherConfig:
     # largest of 30 bins.
     histo_length: int = 30
     check_orientation: bool = True
-    # Projection search radius in pixels (th parameter of
-    # SearchByProjection; 15 for mono seeds, 7 with motion model).
-    search_radius: float = 7.0
+    # Projection search radii in pixels, scaled by the keypoint's octave.
+    # Motion-model search: th=7 for RGB-D (Tracking.cc:1934).
+    mm_search_radius: float = 7.0
+    # Local-map search: th=1 x RadiusByViewingCos(2.5) for well-tracked
+    # frames (ORBmatcher.cc:63-160, Tracking.cc:2694) — tight windows
+    # bound the association bias that a drifted seed can induce.
+    lm_search_radius: float = 2.5
 
 
 @dataclass(frozen=True)
@@ -124,6 +140,16 @@ class TrackingConfig:
     min_inliers_reloc: int = 50
     # Auto reset if LOST with <= this many keyframes (Tracking.cc:1153).
     reset_if_lost_with_kfs: int = 5
+    # Constant-velocity model damping. With undamped extrapolation the
+    # no-innovation error recursion is e(n+1) = 2 e(n) - e(n-1) —
+    # exponentially unstable along weakly-observed directions (estimator
+    # returns ~the prediction there, e.g. the z/depth mode of a
+    # fronto-dominant scene once the chi2 gate culls close points).
+    # Damping the velocity by alpha < 1 makes that recursion marginally
+    # stable (roots 1 and alpha) at the cost of a small prediction lag.
+    # The reference uses alpha = 1 and relies on relocalization to
+    # recover from the resulting escapes.
+    velocity_damping: float = 0.85
     # Max new map points spawned from close depth per KF
     # (Tracking.cc:2548-2605 caps at 100 when many close points).
     max_new_points_per_kf: int = 100

@@ -70,8 +70,8 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
 
     per_level = []
     for lvl, (lv_img, quota) in enumerate(zip(levels, quotas)):
-        score = fast_ops.fast_score_map(lv_img)
-        score = fast_ops.nms3x3(score)
+        score_raw = fast_ops.fast_score_map(lv_img)
+        score = fast_ops.nms3x3(score_raw)
         uv, s, valid = select_ops.select_keypoints(
             score,
             float(cfg.ini_th_fast),
@@ -81,13 +81,28 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
             quota=max(quota, 1),
             border=cfg.edge_threshold,
         )
+        uv = select_ops.subpixel_refine(score_raw, uv, valid)
         ang = ic_angle(lv_img, uv, valid)
         blurred = image_ops.gaussian_blur(lv_img, 7, 2.0)
         desc = steered_brief(blurred, uv, ang, valid)
-        scale = cfg.scale_factor**lvl
+        # Exact level->base coordinate mapping. Bilinear resize uses the
+        # half-pixel-centers convention: level pixel p sits at base
+        # coordinate (p + 0.5) * (base/level) - 0.5, NOT p * scale. The
+        # naive p*scale (which the reference uses, ORBextractor.cc:1098)
+        # biases coarse-level keypoints by (scale-1)/2 px (up to ~1.3 px
+        # at level 7); because the observation level of a landmark
+        # changes with viewing distance, that per-level bias turns into
+        # a systematic radial drift under forward motion.
+        lh, lw = lv_img.shape
+        sx = img.shape[1] / lw
+        sy = img.shape[0] / lh
+        uv_base = jnp.stack(
+            [(uv[:, 0] + 0.5) * sx - 0.5, (uv[:, 1] + 0.5) * sy - 0.5], axis=-1
+        )
+        uv_base = jnp.where(valid[:, None], uv_base, 0.0)
         per_level.append(
             Features(
-                uv=uv * scale,
+                uv=uv_base,
                 level=jnp.full((uv.shape[0],), lvl, dtype=jnp.int32),
                 angle=ang,
                 score=s,

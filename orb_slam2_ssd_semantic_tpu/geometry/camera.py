@@ -82,5 +82,5 @@ def stereo_right_u(uv: jnp.ndarray, depth: jnp.ndarray, cam: CameraConfig) -> jn
     (Frame::ComputeStereoFromRGBD, perfect/src/Frame.cc:494-520):
     uR = u - bf/z for valid depth, else -1."""
     z_safe = jnp.where(depth > 1e-6, depth, 1.0)
-    u_r = uv[..., 0] - cam.bf / z_safe
+    u_r = uv[..., 0] - cam.depth_bf / z_safe
     return jnp.where(depth > 1e-6, u_r, -1.0)

@@ -1,0 +1,253 @@
+"""Synthetic RGB-D sequence renderer with exact ground truth.
+
+The environment has no TUM image data (zero egress), so end-to-end SLAM
+tests and benchmarks run on a procedurally-textured box room rendered by
+ray-casting: every frame provides (gray, depth, T_cw ground truth) at
+the reference's 640x480 operating point. The texture is multi-octave
+value noise plus a random-luminance cell grid, giving FAST plenty of
+corners; depth is exact camera-frame z like a Kinect.
+
+Deterministic for a given seed. Pure numpy/JAX; renders on CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from orb_slam2_ssd_semantic_tpu.config import CameraConfig
+
+
+def _hash2(ix: np.ndarray, iy: np.ndarray, seed: int) -> np.ndarray:
+    """Integer lattice hash -> [0, 1) float, vectorized."""
+    h = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263 + seed * 144665461)
+    h = (h ^ (h >> 13)) * 1274126177
+    h = h ^ (h >> 16)
+    return ((h & 0xFFFFFF).astype(np.float64) / float(0x1000000)).astype(np.float32)
+
+
+def _value_noise(x: np.ndarray, y: np.ndarray, scale: float, seed: int) -> np.ndarray:
+    """Bilinear value noise over a lattice of pitch `scale` meters."""
+    fx = x / scale
+    fy = y / scale
+    ix = np.floor(fx).astype(np.int64)
+    iy = np.floor(fy).astype(np.int64)
+    tx = (fx - ix).astype(np.float32)
+    ty = (fy - iy).astype(np.float32)
+    v00 = _hash2(ix, iy, seed)
+    v10 = _hash2(ix + 1, iy, seed)
+    v01 = _hash2(ix, iy + 1, seed)
+    v11 = _hash2(ix + 1, iy + 1, seed)
+    return (
+        v00 * (1 - tx) * (1 - ty)
+        + v10 * tx * (1 - ty)
+        + v01 * (1 - tx) * ty
+        + v11 * tx * ty
+    )
+
+
+def _texture(u: np.ndarray, v: np.ndarray, face_id: int, seed: int) -> np.ndarray:
+    """Gray texture in [0, 255] at wall-plane coords (u, v) meters."""
+    s = seed * 7 + face_id
+    # Random-luminance cell grids at several pitches: corner-rich at any
+    # viewing distance (0.25 m cells for far walls down to 0.03 m for
+    # close-up surfaces), plus smooth value noise for low-frequency
+    # variation.
+    cells = _hash2(np.floor(u / 0.25).astype(np.int64), np.floor(v / 0.25).astype(np.int64), s)
+    cells2 = _hash2(np.floor(u / 0.08).astype(np.int64), np.floor(v / 0.08).astype(np.int64), s + 4)
+    cells3 = _hash2(np.floor(u / 0.03).astype(np.int64), np.floor(v / 0.03).astype(np.int64), s + 5)
+    t = 0.34 * cells + 0.22 * cells2 + 0.12 * cells3
+    t = t + 0.22 * _value_noise(u, v, 0.40, s + 1)
+    t = t + 0.10 * _value_noise(u, v, 0.10, s + 2)
+    return 30.0 + 200.0 * t
+
+
+def _default_boxes(size):
+    """Furniture: boxes protruding from the +z wall INTO the camera's
+    forward frustum (the default trajectory looks down +z from around
+    (2.5, 1.5, 3) with a ~62x48 deg FOV, so free-standing furniture
+    near other walls is never visible). Multiple depth layers break the
+    single-plane yaw/translation ambiguity that otherwise makes
+    point-based pose estimation ill-conditioned."""
+    sx, sy, sz = size
+    return [
+        # (min_corner, max_corner) — all flush against the z = sz wall.
+        ((1.1, 0.6, 4.6), (2.1, 1.5, sz)),   # upper-left cabinet
+        ((2.9, 1.4, 4.2), (3.9, 2.4, sz)),   # right shelf, deep
+        ((2.0, 1.9, 5.0), (2.9, 2.7, sz)),   # lower-middle block
+        ((1.4, 2.1, 4.4), (2.0, 2.6, sz)),   # lower-left column
+        ((3.2, 0.3, 5.0), (4.2, 1.1, sz)),   # upper-right box
+        ((0.3, 1.0, 4.8), (0.9, 2.2, sz)),   # far-left column
+    ]
+
+
+@dataclass
+class BoxRoom:
+    """Axis-aligned box room [0,sx]x[0,sy]x[0,sz] with box "furniture",
+    camera inside. World frame: x right, y down (floor at y=sy), z fwd.
+    """
+
+    size: tuple = (5.0, 3.0, 6.0)
+    seed: int = 17
+    cam: CameraConfig = field(default_factory=CameraConfig)
+    boxes: list = None
+
+    def __post_init__(self):
+        if self.boxes is None:
+            self.boxes = _default_boxes(self.size)
+
+    def render(self, T_wc: np.ndarray, depth_noise: float = 0.0, rng=None, ss: int = 3):
+        """Render (gray (H,W) f32 [0,255], depth (H,W) f32 meters) from a
+        camera-to-world pose.
+
+        `ss`: gray-channel supersampling factor (ss x ss rays per pixel,
+        box-filtered). Without it the point-sampled procedural texture
+        aliases, and FAST corners drift 1-2 cm (world units) between
+        viewpoints — several times worse than real-camera corner
+        stability — which destabilizes any tracker run on this data.
+        Depth uses the center ray (real depth sensors do not average
+        across silhouettes)."""
+        gray = None
+        for iy in range(ss):
+            for ix in range(ss):
+                du = (ix + 0.5) / ss - 0.5
+                dv = (iy + 0.5) / ss - 0.5
+                g, d = self._render_once(T_wc, du, dv)
+                gray = g if gray is None else gray + g
+                if abs(du) < 0.5 / ss and abs(dv) < 0.5 / ss:
+                    depth = d
+        gray = gray / (ss * ss)
+        if ss % 2 == 0:  # no exact center ray: render it for depth
+            _, depth = self._render_once(T_wc, 0.0, 0.0)
+        if depth_noise > 0.0 and rng is not None:
+            depth = depth + rng.normal(0.0, depth_noise, depth.shape).astype(np.float32) * depth
+            depth = np.maximum(depth, 0.0)
+        return gray, depth
+
+    def _render_once(self, T_wc: np.ndarray, du: float = 0.0, dv: float = 0.0):
+        cam = self.cam
+        h, w = cam.height, cam.width
+        u, v = np.meshgrid(
+            np.arange(w, dtype=np.float32) + du, np.arange(h, dtype=np.float32) + dv
+        )
+        dirs_c = np.stack(
+            [(u - cam.cx) / cam.fx, (v - cam.cy) / cam.fy, np.ones_like(u)], axis=-1
+        )  # (H, W, 3), unnormalized so t == z-depth
+        R = T_wc[:3, :3].astype(np.float32)
+        o = T_wc[:3, 3].astype(np.float32)
+        dirs_w = dirs_c @ R.T  # (H, W, 3)
+
+        sx, sy, sz = self.size
+        bounds = np.array([[0.0, sx], [0.0, sy], [0.0, sz]], dtype=np.float32)
+        t_best = np.full((h, w), np.inf, dtype=np.float32)
+        face_best = np.full((h, w), -1, dtype=np.int32)
+
+        # Room walls (viewed from inside).
+        for axis in range(3):
+            for side in range(2):
+                d = dirs_w[..., axis]
+                denom = np.where(np.abs(d) < 1e-9, 1e-9, d)
+                t = (bounds[axis, side] - o[axis]) / denom
+                ok = t > 1e-6
+                hit = o[None, None, :] + t[..., None] * dirs_w
+                for other in range(3):
+                    if other == axis:
+                        continue
+                    ok &= (hit[..., other] >= -1e-4) & (hit[..., other] <= bounds[other, 1] + 1e-4)
+                closer = ok & (t < t_best)
+                t_best = np.where(closer, t, t_best)
+                face_best = np.where(closer, axis * 2 + side, face_best)
+
+        # Boxes (viewed from outside): slab method.
+        for bi, (bmin, bmax) in enumerate(self.boxes):
+            bmin = np.asarray(bmin, np.float32)
+            bmax = np.asarray(bmax, np.float32)
+            denom = np.where(np.abs(dirs_w) < 1e-9, 1e-9, dirs_w)
+            t1 = (bmin[None, None, :] - o) / denom
+            t2 = (bmax[None, None, :] - o) / denom
+            tlo = np.minimum(t1, t2)
+            thi = np.maximum(t1, t2)
+            tnear = tlo.max(axis=-1)
+            tfar = thi.min(axis=-1)
+            enter_axis = tlo.argmax(axis=-1)
+            hit_ok = (tnear > 1e-6) & (tnear <= tfar)
+            closer = hit_ok & (tnear < t_best)
+            t_best = np.where(closer, tnear, t_best)
+            face_best = np.where(closer, 6 + bi * 3 + enter_axis, face_best)
+
+        hit = o[None, None, :] + t_best[..., None] * dirs_w
+        gray = np.zeros((h, w), dtype=np.float32)
+        for axis in range(3):
+            uax, vax = [a for a in range(3) if a != axis]
+            for side in range(2):
+                fid = axis * 2 + side
+                m = face_best == fid
+                if np.any(m):
+                    gray[m] = _texture(hit[..., uax][m], hit[..., vax][m], fid, self.seed)
+        for bi in range(len(self.boxes)):
+            for axis in range(3):
+                fid = 6 + bi * 3 + axis
+                m = face_best == fid
+                if np.any(m):
+                    uax, vax = [a for a in range(3) if a != axis]
+                    gray[m] = _texture(hit[..., uax][m], hit[..., vax][m], fid, self.seed)
+
+        depth = t_best.copy()  # t == camera z-depth by construction
+        depth[~np.isfinite(depth)] = 0.0
+        return gray, depth
+
+
+def orbit_trajectory(n_frames: int, room=(5.0, 3.0, 6.0), radius: float = 0.4,
+                     step: float = 0.012, yaw_amp: float = 0.12):
+    """Smooth exploratory trajectory inside the room: forward drift with
+    lateral sinusoid and gentle yaw. Returns (n, 4, 4) camera-to-world."""
+    sx, sy, sz = room
+    poses = []
+    for i in range(n_frames):
+        t = i * step
+        x = sx / 2 + radius * np.sin(0.7 * t * 2 * np.pi)
+        y = sy / 2 + 0.1 * np.sin(0.4 * t * 2 * np.pi)
+        z = sz / 2 + 0.45 * np.sin(0.35 * t * 2 * np.pi)
+        yaw = yaw_amp * np.sin(0.5 * t * 2 * np.pi)
+        pitch = 0.05 * np.sin(0.3 * t * 2 * np.pi)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R_yaw = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = (R_yaw @ R_pitch).astype(np.float32)
+        T[:3, 3] = [x, y, z]
+        poses.append(T)
+    return np.stack(poses)
+
+
+@dataclass
+class SyntheticSequence:
+    """Drop-in stand-in for TumSequence with exact ground truth."""
+
+    n_frames: int = 60
+    cam: CameraConfig = field(default_factory=CameraConfig)
+    seed: int = 17
+    depth_noise: float = 0.0
+    fps: float = 30.0
+
+    def __post_init__(self):
+        self.room = BoxRoom(seed=self.seed, cam=self.cam)
+        self.poses_wc = orbit_trajectory(self.n_frames, self.room.size)
+        self.stamps = np.arange(self.n_frames) / self.fps
+        self._rng = np.random.default_rng(self.seed)
+
+    def __len__(self):
+        return self.n_frames
+
+    def gray_depth(self, i: int):
+        return self.room.render(self.poses_wc[i], self.depth_noise, self._rng)
+
+    def __getitem__(self, i: int):
+        gray, depth = self.gray_depth(i)
+        rgb = np.repeat(gray[..., None], 3, axis=-1).astype(np.uint8)
+        return float(self.stamps[i]), rgb, depth
+
+    def gt_positions(self):
+        return self.poses_wc[:, :3, 3]

@@ -1,0 +1,132 @@
+"""Local mapping: window assembly, local BA dispatch, and map-point culling.
+
+The engine's equivalent of the LocalMapping thread's per-keyframe work
+(perfect/src/LocalMapping.cc:70-156): after each keyframe insertion the
+host calls `local_mapping_step`, which (on device, fixed shapes):
+
+  1. assembles the local BA problem from the newest `local_ba_window`
+     keyframes and the points they observe (the recency window stands in
+     for the covisibility window of Optimizer.cc:624-682 — identical for
+     exploratory motion; covisibility selection arrives with loop
+     closing),
+  2. runs the Schur-complement local BA (mapping/ba.py),
+  3. writes refined poses/points back into the SlamState and prunes
+     outlier observations (Optimizer.cc:936-957 erase step),
+  4. culls bad map points (MapPointCulling, LocalMapping.cc:270-344:
+     found/visible ratio < 0.25, or too few observations while young).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
+from orb_slam2_ssd_semantic_tpu.mapping.ba import BAProblem, local_bundle_adjust
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """Run one local-BA + culling pass anchored at the newest keyframe."""
+    W = cfg.map.local_ba_window
+    N = cfg.map.local_ba_max_points
+    P = state.points.pos.shape[0]
+    F = state.kfs.valid.shape[0]
+    K = state.kfs.uv.shape[1]
+    sf = scale_factors(cfg.orb)
+
+    # ---- window: newest W keyframes --------------------------------------
+    kf_ids_raw = state.n_kfs - W + jnp.arange(W)  # oldest..newest
+    in_window = kf_ids_raw >= 0
+    kf_ids = jnp.clip(kf_ids_raw, 0, F - 1)
+    # Gauge: fix the oldest valid KF in the window (and every slot that
+    # falls before keyframe 0). With <=2 KFs everything is fixed (no-op).
+    first_pos = jnp.argmax(in_window)  # first True
+    fixed = (~in_window) | (jnp.arange(W) == first_pos)
+
+    kp_point = state.kfs.kp_point[kf_ids]  # (W, K)
+    kp_point = jnp.where(in_window[:, None], kp_point, -1)
+
+    # ---- local point set --------------------------------------------------
+    ids_flat = kp_point.reshape(-1)
+    present = jnp.zeros((P,), jnp.float32).at[
+        jnp.where(ids_flat >= 0, ids_flat, P)
+    ].add(1.0, mode="drop")
+    present = present * state.points.valid
+    _, local_ids = jax.lax.top_k(present, N)  # (N,) point ids (desc by count)
+    slot_of_point = jnp.full((P + 1,), -1, jnp.int32).at[local_ids].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    point_valid = present[local_ids] > 0
+
+    slot = slot_of_point[jnp.where(kp_point >= 0, kp_point, P)]  # (W, K)
+
+    # ---- observations -----------------------------------------------------
+    lv = jnp.clip(state.kfs.level[kf_ids], 0, cfg.orb.n_levels - 1)
+    inv_sigma2 = 1.0 / (sf[lv] ** 2)
+    depth = state.kfs.depth[kf_ids]
+    uv = state.kfs.uv[kf_ids]
+    z_safe = jnp.where(depth > 1e-6, depth, 1.0)
+    ur = jnp.where(depth > 1e-6, uv[..., 0] - cfg.camera.depth_bf / z_safe, -1.0)
+    obs_uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
+
+    prob = BAProblem(
+        T_cw=state.kfs.T_cw[kf_ids],
+        fixed=fixed,
+        points=state.points.pos[local_ids],
+        point_valid=point_valid,
+        point_slot=jnp.where(state.kfs.kp_valid[kf_ids], slot, -1),
+        obs_uvr=obs_uvr,
+        inv_sigma2=inv_sigma2,
+        is_stereo=depth > 1e-6,
+    )
+    res = local_bundle_adjust(prob, cfg.camera, cfg.optimizer)
+
+    # ---- write back -------------------------------------------------------
+    free = (~fixed) & in_window
+    kfs = state.kfs
+    new_T = jnp.where(free[:, None, None], res.T_cw, prob.T_cw)
+    kfs = kfs._replace(T_cw=kfs.T_cw.at[kf_ids].set(new_T))
+
+    pts = state.points
+    new_pos = jnp.where(point_valid[:, None], res.points, prob.points)
+    pts = pts._replace(
+        pos=pts.pos.at[jnp.where(point_valid, local_ids, P)].set(new_pos, mode="drop")
+    )
+
+    # ---- observation pruning (erase BA outliers) --------------------------
+    had_obs = prob.point_slot >= 0
+    pruned = had_obs & (~res.inlier)
+    new_kp_point = jnp.where(pruned, -1, kp_point)
+    kfs = kfs._replace(kp_point=kfs.kp_point.at[kf_ids].set(
+        jnp.where(in_window[:, None], new_kp_point, state.kfs.kp_point[kf_ids])
+    ))
+    # Decrement n_obs for pruned observations.
+    pruned_ids = jnp.where(pruned, kp_point, P).reshape(-1)
+    n_obs = pts.n_obs.at[pruned_ids].add(-1, mode="drop")
+    pts = pts._replace(n_obs=jnp.maximum(n_obs, 0))
+
+    state = state._replace(points=pts, kfs=kfs)
+    return cull_points(state, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_points(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """MapPointCulling (LocalMapping.cc:270-344): drop points with poor
+    found/visible ratio, and young points that failed to gather
+    observations."""
+    pts = state.points
+    age = state.n_kfs - 1 - pts.ref_kf  # keyframes since creation
+    visible = jnp.maximum(pts.n_visible, 1)
+    ratio = pts.n_found.astype(jnp.float32) / visible.astype(jnp.float32)
+    bad_ratio = (pts.n_visible >= 8) & (ratio < cfg.map.min_found_ratio)
+    # Young point must reach >=3 observations by age 3 (cnThObs for
+    # stereo, LocalMapping.cc:284-300); culling window closes at age 4.
+    bad_young = (age >= 3) & (age <= 4) & (pts.n_obs < cfg.map.min_observations)
+    lonely = pts.n_obs <= 0
+    cull = pts.valid & (bad_ratio | bad_young | lonely)
+    return state._replace(points=pts._replace(valid=pts.valid & ~cull))

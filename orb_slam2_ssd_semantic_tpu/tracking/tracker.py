@@ -1,0 +1,531 @@
+"""RGB-D tracking: frame build, motion-model tracking, local-map tracking,
+keyframe creation — the engine's equivalent of the reference Tracking
+thread (perfect/src/Tracking.cc:651-1190 GrabImageRGBD/Track), re-shaped
+as a handful of jitted fixed-shape step functions sequenced by a thin
+host loop (SURVEY.md §2.6 P1).
+
+Pipeline per frame (mirrors Track(), Tracking.cc:875-1190):
+  1. build_frame: ORB extraction + keypoint depth association
+     (Frame ctor equivalent, Frame.cc:328-420 + ComputeStereoFromRGBD).
+  2. track_motion_model: project last frame's keypoints (with depth)
+     into the predicted pose and match in a window, then motion-only BA
+     (TrackWithMotionModel, Tracking.cc:1911-2006).
+  3. track_local_map: project candidate map points, guided-match, final
+     pose refine; update visible/found statistics (TrackLocalMap,
+     Tracking.cc:2108-2196 + SearchLocalPoints 2631).
+  4. Keyframe decision + insertion with new-point spawning
+     (NeedNewKeyFrame 2360 / CreateNewKeyFrame 2516).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.frontend.extractor import Features, extract, scale_factors
+from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, empty_state
+from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
+from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+from orb_slam2_ssd_semantic_tpu.tracking.pose_opt import pose_optimize
+
+LOCAL_CANDIDATES = 4096  # fixed candidate-set size for local-map matching
+
+
+class Frame(NamedTuple):
+    feats: Features
+    kp_depth: jnp.ndarray  # (K,) float32, 0 = no depth
+    obs_uvr: jnp.ndarray  # (K, 3) [u, v, uR] observation vector
+    is_stereo: jnp.ndarray  # (K,) bool — has valid depth
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_frame(gray: jnp.ndarray, depth_img: jnp.ndarray, cfg: SlamConfig) -> Frame:
+    feats = extract(gray, cfg.orb)
+    uv_ud = cam_ops.undistort_points(feats.uv, cfg.camera)
+    feats = feats._replace(uv=jnp.where(feats.valid[:, None], uv_ud, 0.0))
+    # Depth at the *raw* keypoint location (nearest-neighbor: depth maps
+    # must not be interpolated across discontinuities).
+    d, dv = image_ops.nearest_sample(depth_img, feats.uv)
+    kp_depth = jnp.where(feats.valid & dv & (d > 1e-6), d, 0.0)
+    ur = cam_ops.stereo_right_u(feats.uv, kp_depth, cfg.camera)
+    obs = jnp.concatenate([feats.uv, ur[:, None]], axis=-1)
+    return Frame(feats, kp_depth, obs, kp_depth > 0)
+
+
+class TrackResult(NamedTuple):
+    T_cw: jnp.ndarray
+    n_matches: jnp.ndarray  # matches fed to the optimizer
+    n_inliers: jnp.ndarray  # inliers after optimization
+    kp_point: jnp.ndarray  # (K,) int32 current keypoint -> map point id
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_motion_model(
+    frame: Frame,
+    last_frame: Frame,
+    last_T_cw: jnp.ndarray,
+    T_pred: jnp.ndarray,
+    cfg: SlamConfig,
+    map_pos: jnp.ndarray | None = None,
+    map_valid: jnp.ndarray | None = None,
+    last_kp_point: jnp.ndarray | None = None,
+):
+    """Frame-to-frame tracking seeded by the motion model.
+
+    Keypoints of the last frame that are associated to map points use the
+    MAP's (BA-refined) 3D — this anchors every frame to the map exactly
+    like the reference, whose last-frame mvpMapPoints carry map geometry
+    (TrackWithMotionModel, Tracking.cc:1911-2006). Unassociated keypoints
+    fall back to depth backprojection at the last pose (the reference's
+    temporal 'visual odometry' points, UpdateLastFrame Tracking.cc:1820).
+    """
+    cam = cfg.camera
+    sf = scale_factors(cfg.orb)
+    lf = last_frame.feats
+    pts_c = cam_ops.backproject(lf.uv, last_frame.kp_depth, cam)
+    T_wc_last = se3.se3_inverse(last_T_cw)
+    pts_w = se3.transform_points(T_wc_last, pts_c)
+    has3d = last_frame.is_stereo & lf.valid
+    if map_pos is not None:
+        P = map_pos.shape[0]
+        assoc = (last_kp_point >= 0) & map_valid[jnp.clip(last_kp_point, 0, P - 1)]
+        map_xyz = map_pos[jnp.clip(last_kp_point, 0, P - 1)]
+        pts_w = jnp.where(assoc[:, None], map_xyz, pts_w)
+        # Use ONLY map-anchored points when there are enough of them.
+        # Mixing in depth-backprojected 'temporal' points (whose 3D
+        # carries the last pose's error) creates two residual
+        # populations; once drift exceeds the chi2 gate (~2.8 px) the
+        # gate culls the map-anchored population wholesale and the
+        # temporal one wins — pure error propagation with positive
+        # feedback. Map-only observations make the motion-model stage
+        # re-anchor to the (BA-refined) map every frame.
+        enough = jnp.sum(assoc.astype(jnp.int32)) >= 100
+        has3d = jnp.where(enough, assoc, has3d | assoc)
+
+    radius = cfg.matcher.mm_search_radius * sf[jnp.clip(lf.level, 0, sf.shape[0] - 1)]
+
+    T = T_pred
+    n_match = jnp.int32(0)
+    for _ in range(1):
+        pc = se3.transform_points(T, pts_w)
+        centers, z = cam_ops.project(pc, cam)
+        vis = has3d & (z > 0.05) & cam_ops.in_image(centers, cam)
+        m = match_ops.match_by_window(
+            lf.desc,
+            frame.feats.desc,
+            centers,
+            frame.feats.uv,
+            vis,
+            frame.feats.valid,
+            radius,
+            angle_q=lf.angle,
+            angle_t=frame.feats.angle,
+            max_dist=match_ops.TH_HIGH,
+        )
+        tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
+        obs = frame.obs_uvr[tgt]
+        inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
+        res = pose_optimize(
+            T,
+            pts_w,
+            obs,
+            inv_sigma2,
+            frame.is_stereo[tgt],
+            m.valid,
+            cam,
+            cfg.optimizer,
+        )
+        T = res.T_cw
+        n_match = jnp.sum(m.valid.astype(jnp.int32))
+    return T, n_match, res.num_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_local_map(
+    state: SlamState,
+    frame: Frame,
+    T_cur: jnp.ndarray,
+    cfg: SlamConfig,
+):
+    """Refine pose against the map and associate keypoints to map points.
+
+    Candidate selection projects ALL map points (fixed capacity) and
+    keeps up to LOCAL_CANDIDATES in-frustum ones — the dense-masked
+    equivalent of UpdateLocalPoints + SearchLocalPoints
+    (Tracking.cc:2320-2357, 2631-2703)."""
+    cam = cfg.camera
+    sf = scale_factors(cfg.orb)
+    pts = state.points
+    # Candidate selection once (frustum changes negligibly within the
+    # per-frame correction), then two match->optimize rounds — the
+    # re-match at the refined pose removes the seed-anchored association
+    # bias (see track_motion_model).
+    pc = se3.transform_points(T_cur, pts.pos)
+    uv, z = cam_ops.project(pc, cam)
+    dist = jnp.linalg.norm(pc, axis=-1)
+    in_frustum = (
+        pts.valid
+        & (z > 0.05)
+        & cam_ops.in_image(uv, cam)
+        # Scale-invariance distance gate (MapPoint::PredictScale usage,
+        # Tracking.cc:2680): allow margins like the reference (0.8/1.2).
+        & (dist > 0.8 * pts.min_dist)
+        & (dist < 1.3 * pts.max_dist)
+    )
+
+    # Fixed-size candidate gather.
+    score = in_frustum.astype(jnp.float32)
+    _, cand = jax.lax.top_k(score, LOCAL_CANDIDATES)
+    c_valid = in_frustum[cand]
+    c_desc = pts.desc[cand]
+    c_pos = pts.pos[cand]
+    c_dist = dist[cand]
+    c_maxd = pts.max_dist[cand]
+
+    # Predicted pyramid level from distance (MapPoint::PredictScale,
+    # MapPoint.cc:469-508): level = ceil(log(maxdist/d)/log(s)).
+    ratio = jnp.maximum(c_maxd / jnp.maximum(c_dist, 1e-6), 1e-6)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(cfg.orb.scale_factor)).astype(jnp.int32),
+        0,
+        cfg.orb.n_levels - 1,
+    )
+    radius = cfg.matcher.lm_search_radius * sf[pred_level]
+
+    T = T_cur
+    for _ in range(1):
+        c_pc = se3.transform_points(T, c_pos)
+        c_uv, c_z = cam_ops.project(c_pc, cam)
+        round_valid = c_valid & (c_z > 0.05) & cam_ops.in_image(c_uv, cam)
+        m = match_ops.match_by_window(
+            c_desc,
+            frame.feats.desc,
+            c_uv,
+            frame.feats.uv,
+            round_valid,
+            frame.feats.valid,
+            radius,
+            max_dist=match_ops.TH_HIGH,
+        )
+        tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
+        obs = frame.obs_uvr[tgt]
+        inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
+        res = pose_optimize(
+            T,
+            c_pos,
+            obs,
+            inv_sigma2,
+            frame.is_stereo[tgt],
+            m.valid,
+            cam,
+            cfg.optimizer,
+        )
+        T = res.T_cw
+
+    # keypoint -> point id association for the (potential) new keyframe.
+    # (targets are unique after resolve_duplicate_targets; invalid rows
+    # scatter out-of-bounds and are dropped).
+    K = frame.feats.capacity
+    ok = m.valid & res.inliers
+    kp_point = jnp.full((K,), -1, jnp.int32)
+    kp_point = kp_point.at[jnp.where(ok, tgt, K)].set(
+        cand.astype(jnp.int32), mode="drop"
+    )
+
+    # Tracking statistics (MapPoint::IncreaseVisible/Found,
+    # Tracking.cc:2643-2672): visible per frustum, found per inlier match.
+    vis_ids = jnp.where(c_valid, cand, state.points.pos.shape[0] - 1)
+    n_visible = pts.n_visible.at[vis_ids].add(c_valid.astype(jnp.int32))
+    found_ids = jnp.where(ok, cand, state.points.pos.shape[0] - 1)
+    n_found = pts.n_found.at[found_ids].add(ok.astype(jnp.int32))
+    state = state._replace(points=pts._replace(n_visible=n_visible, n_found=n_found))
+
+    return state, TrackResult(res.T_cw, jnp.sum(m.valid.astype(jnp.int32)), res.num_inliers, kp_point)
+
+
+def _spawn_points(state: SlamState, frame: Frame, T_cw: jnp.ndarray, kp_point, kf_id,
+                  cfg: SlamConfig, spawn_all: bool = False):
+    """Allocate map points for keypoints with depth and no association
+    (CreateNewKeyFrame close-point spawning, Tracking.cc:2548-2605).
+    With spawn_all=True, every valid-depth keypoint spawns a point — the
+    StereoInitialization behavior (Tracking.cc:1415-1486)."""
+    cam = cfg.camera
+    sf = scale_factors(cfg.orb)
+    K = frame.feats.capacity
+    P = state.points.pos.shape[0]
+
+    depth_ok = frame.kp_depth > 0
+    if not spawn_all:
+        depth_ok = depth_ok & (frame.kp_depth < cam.depth_threshold)
+    new_mask = frame.feats.valid & depth_ok & (kp_point < 0)
+    # World positions.
+    pts_c = cam_ops.backproject(frame.feats.uv, frame.kp_depth, cam)
+    T_wc = se3.se3_inverse(T_cw)
+    pts_w = se3.transform_points(T_wc, pts_c)
+    cam_center = T_wc[:3, 3]
+
+    # Allocation: slot = cursor + rank among new points.
+    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    slot = state.n_points + rank
+    ok = new_mask & (slot < P)
+    # Invalid entries scatter to index P (out of bounds) and are dropped.
+    slot_safe = jnp.where(ok, slot, P)
+
+    dist = jnp.linalg.norm(pts_w - cam_center, axis=-1)
+    level = jnp.clip(frame.feats.level, 0, cfg.orb.n_levels - 1)
+    max_dist = dist * sf[level]
+    min_dist = max_dist / sf[-1]
+    normal = (pts_w - cam_center) / jnp.maximum(dist, 1e-6)[:, None]
+
+    pts = state.points
+    pts = pts._replace(
+        pos=pts.pos.at[slot_safe].set(pts_w, mode="drop"),
+        desc=pts.desc.at[slot_safe].set(frame.feats.desc, mode="drop"),
+        normal=pts.normal.at[slot_safe].set(normal, mode="drop"),
+        min_dist=pts.min_dist.at[slot_safe].set(min_dist, mode="drop"),
+        max_dist=pts.max_dist.at[slot_safe].set(max_dist, mode="drop"),
+        n_obs=pts.n_obs.at[slot_safe].set(1, mode="drop"),
+        n_visible=pts.n_visible.at[slot_safe].set(1, mode="drop"),
+        n_found=pts.n_found.at[slot_safe].set(1, mode="drop"),
+        ref_kf=pts.ref_kf.at[slot_safe].set(kf_id, mode="drop"),
+        valid=pts.valid.at[slot_safe].set(True, mode="drop"),
+    )
+    n_new = jnp.sum(ok.astype(jnp.int32))
+    kp_point = jnp.where(ok, slot, kp_point)
+    return state._replace(points=pts, n_points=state.n_points + n_new), kp_point
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spawn_all"))
+def insert_keyframe(
+    state: SlamState,
+    frame: Frame,
+    T_cw: jnp.ndarray,
+    kp_point: jnp.ndarray,
+    frame_id,
+    stamp,
+    cfg: SlamConfig,
+    spawn_all: bool = False,
+) -> SlamState:
+    """Write the frame into the next keyframe slot and spawn close points."""
+    kf_id = state.n_kfs
+    # Count observations for previously-existing matched points (spawned
+    # points get their n_obs=1 inside _spawn_points).
+    P = state.points.pos.shape[0]
+    obs_mask = kp_point >= 0
+    ids = jnp.where(obs_mask, kp_point, P)
+    n_obs = state.points.n_obs.at[ids].add(1, mode="drop")
+    state = state._replace(points=state.points._replace(n_obs=n_obs))
+
+    state, kp_point = _spawn_points(state, frame, T_cw, kp_point, kf_id, cfg, spawn_all)
+
+    kfs = state.kfs
+    F = kfs.valid.shape[0]
+    i = jnp.clip(kf_id, 0, F - 1)
+    kfs = kfs._replace(
+        T_cw=kfs.T_cw.at[i].set(T_cw),
+        uv=kfs.uv.at[i].set(frame.feats.uv),
+        level=kfs.level.at[i].set(frame.feats.level),
+        angle=kfs.angle.at[i].set(frame.feats.angle),
+        desc=kfs.desc.at[i].set(frame.feats.desc),
+        depth=kfs.depth.at[i].set(frame.kp_depth),
+        kp_valid=kfs.kp_valid.at[i].set(frame.feats.valid),
+        kp_point=kfs.kp_point.at[i].set(kp_point),
+        frame_id=kfs.frame_id.at[i].set(frame_id),
+        stamp=kfs.stamp.at[i].set(stamp),
+        valid=kfs.valid.at[i].set(True),
+    )
+    state = state._replace(kfs=kfs, n_kfs=jnp.minimum(state.n_kfs + 1, F))
+    return state, kp_point
+
+
+class Tracker:
+    """Host-side per-frame sequencing (the reference's Tracking state
+    machine, minus threads). Owns the SlamState and the motion model."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.state = empty_state(cfg)
+        self.last_frame: Frame | None = None
+        self.last_kp_point = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+        self.last_T_cw = jnp.eye(4, dtype=jnp.float32)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self.initialized = False
+        self.frame_id = 0
+        self.frames_since_kf = 0
+        self.ref_kf_inliers = 0
+        self.trajectory: list = []  # (stamp, T_cw np)
+        self.stats: list = []
+        self.status = "INIT"
+
+    def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
+        """Track one RGB-D frame; returns T_cw (4,4) numpy."""
+        cfg = self.cfg
+        frame = build_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
+
+        if not self.initialized:
+            T_cw = jnp.eye(4, dtype=jnp.float32)
+            kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
+            self.state, kp_point = insert_keyframe(
+                self.state, frame, T_cw, kp_point, self.frame_id, stamp, cfg,
+                spawn_all=True,
+            )
+            self.initialized = True
+            self.status = "OK"
+            self.ref_kf_inliers = int(jnp.sum(frame.is_stereo & frame.feats.valid))
+            self._finish(frame, T_cw, stamp, 0, 0, kp_point)
+            return np.asarray(T_cw)
+
+        T_pred = self.velocity @ self.last_T_cw
+        T_mm, n_match_mm, n_inl_mm = track_motion_model(
+            frame, self.last_frame, self.last_T_cw, T_pred, cfg,
+            map_pos=self.state.points.pos,
+            map_valid=self.state.points.valid,
+            last_kp_point=self.last_kp_point,
+        )
+        # Fall back to the prediction if motion-model tracking failed
+        # (reference falls back to reference-KF BoW tracking; with a
+        # persistent map the local-map stage plays that role).
+        # Sanity gate: a per-frame correction beyond plausible camera
+        # motion means the solve latched onto garbage; never accept it.
+        mm_jump = float(jnp.linalg.norm(T_mm[:3, 3] - T_pred[:3, 3]))
+        ok_mm = int(n_inl_mm) >= cfg.tracking.min_inliers_track and mm_jump < 0.5
+        T_seed = T_mm if ok_mm else T_pred
+
+        self.state, res = track_local_map(self.state, frame, T_seed, cfg)
+        n_inl = int(res.n_inliers)
+
+        # Accept the local-map refinement only when well-constrained
+        # (reference declares LOST below 30 inliers, Tracking.cc:2166-2180).
+        if n_inl >= cfg.tracking.min_inliers_local_map:
+            self.status = "OK"
+            T_cw = res.T_cw
+        elif ok_mm:
+            self.status = "WEAK"
+            T_cw = T_mm
+        else:
+            # Lost: freeze rather than extrapolate — an exploding velocity
+            # model must never poison the trajectory. (Relocalization is
+            # the stage-2 recovery path, Tracking.cc:2714.)
+            self.status = "LOST"
+            T_cw = self.last_T_cw
+
+        kp_point = res.kp_point
+        # Close-point census for the RGB-D keyframe rule
+        # (NeedNewKeyFrame c1c, Tracking.cc:2430-2470).
+        close = frame.feats.valid & (frame.kp_depth > 0) & (
+            frame.kp_depth < cfg.camera.depth_threshold
+        )
+        n_close_tracked = int(jnp.sum(close & (kp_point >= 0)))
+        n_close_untracked = int(jnp.sum(close & (kp_point < 0)))
+        if self.status == "OK" and self._need_keyframe(
+            n_inl, n_close_tracked, n_close_untracked
+        ):
+            self.state, kp_point = insert_keyframe(
+                self.state, frame, T_cw, res.kp_point, self.frame_id, stamp, cfg
+            )
+            self.frames_since_kf = 0
+            self.ref_kf_inliers = n_inl
+            # Local mapping: BA over the recent window + point culling
+            # (LocalMapping thread equivalent; runs synchronously here,
+            # async dispatch is a scale-out concern).
+            if int(self.state.n_kfs) >= 3:
+                from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import (
+                    local_mapping_step,
+                )
+
+                self.state = local_mapping_step(self.state, cfg)
+                # Re-anchor the tracker on the BA-refined newest keyframe.
+                T_cw = self.state.kfs.T_cw[int(self.state.n_kfs) - 1]
+        else:
+            self.frames_since_kf += 1
+
+        self._finish(frame, T_cw, stamp, int(res.n_matches), n_inl, kp_point)
+        return np.asarray(T_cw)
+
+    def _need_keyframe(self, n_inliers: int, n_close_tracked: int,
+                       n_close_untracked: int) -> bool:
+        """KF decision (NeedNewKeyFrame, Tracking.cc:2360-2509):
+        - time rule (c1a),
+        - coverage decay below thRefRatio of the reference keyframe (c1b,
+          0.75 for RGB-D),
+        - the RGB-D close-point rule (c1c): too few tracked close points
+          while plenty of fresh close ones are available. This is the
+          rule that keeps RGB-D keyframes frequent and the map anchored
+          to current geometry — a late keyframe anchors a drifted pose.
+        """
+        t = self.cfg.tracking
+        if n_inliers < t.min_inliers_track:
+            return False  # too weak to anchor a KF
+        if self.frames_since_kf >= t.max_frames_between_kfs:
+            return True
+        need_close = (
+            n_close_tracked < t.min_close_points
+            and n_close_untracked > t.max_non_tracked_close
+        )
+        return need_close or n_inliers < 0.75 * max(self.ref_kf_inliers, 1)
+
+    def _finish(self, frame: Frame, T_cw, stamp, n_matches, n_inliers, kp_point=None):
+        if kp_point is None:
+            kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
+        self.last_kp_point = kp_point
+        if self.status == "LOST" or self.last_frame is None:
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+        else:
+            rel = T_cw @ se3.se3_inverse(self.last_T_cw)
+            alpha = self.cfg.tracking.velocity_damping
+            self.velocity = se3.se3_exp(alpha * se3.se3_log(rel))
+        self.last_frame = frame
+        self.last_T_cw = T_cw
+        self.frame_id += 1
+        # Record the pose RELATIVE to the current reference keyframe, so
+        # later BA corrections of keyframe poses retroactively improve the
+        # whole trajectory (SaveTrajectoryTUM semantics, System.cc:476-502).
+        ref_kf = max(int(self.state.n_kfs) - 1, 0)
+        T_ref = np.asarray(self.state.kfs.T_cw[ref_kf])
+        T_rel = np.asarray(T_cw) @ np.linalg.inv(T_ref)
+        self.trajectory.append((stamp, ref_kf, T_rel))
+        self.stats.append(
+            {"matches": n_matches, "inliers": n_inliers, "status": self.status,
+             "kfs": int(self.state.n_kfs), "points": int(self.state.n_points)}
+        )
+
+    # -- outputs ------------------------------------------------------------
+
+    def absolute_poses(self) -> list:
+        """[(stamp, T_cw)] with keyframe-relative entries resolved against
+        the CURRENT (possibly BA-refined) keyframe poses."""
+        kf_T = np.asarray(self.state.kfs.T_cw)
+        out = []
+        for s, ref_kf, T_rel in self.trajectory:
+            out.append((s, T_rel @ kf_T[ref_kf]))
+        return out
+
+    def camera_positions(self) -> np.ndarray:
+        """(N, 3) camera centers in world frame."""
+        out = []
+        for _, T in self.absolute_poses():
+            R, t = T[:3, :3], T[:3, 3]
+            out.append(-R.T @ t)
+        return np.stack(out)
+
+    def save_trajectory_tum(self, path: str):
+        """TUM-format camera trajectory (SaveTrajectoryTUM equivalent,
+        System.cc:454-505)."""
+        from orb_slam2_ssd_semantic_tpu.io.tum import write_trajectory
+
+        stamps, ts, qs = [], [], []
+        for s, T in self.absolute_poses():
+            R, t = T[:3, :3], T[:3, 3]
+            Rwc, twc = R.T, -R.T @ t
+            q = np.asarray(se3.rot_to_quat(jnp.asarray(Rwc)))
+            stamps.append(s)
+            ts.append(twc)
+            qs.append(q)
+        write_trajectory(path, stamps, ts, qs)

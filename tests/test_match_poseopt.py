@@ -99,7 +99,7 @@ def make_pnp_problem(rng, n=200, noise=0.3, outlier_frac=0.0):
     p = pts @ T_true[:3, :3].T + T_true[:3, 3]
     u = CAM.fx * p[:, 0] / p[:, 2] + CAM.cx
     v = CAM.fy * p[:, 1] / p[:, 2] + CAM.cy
-    ur = u - CAM.bf / p[:, 2]
+    ur = u - CAM.depth_bf / p[:, 2]
     obs = np.stack([u, v, ur], axis=-1)
     obs[:, :2] += rng.normal(0, noise, (n, 2))
     n_out = int(outlier_frac * n)
