@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--depth-noise", type=float, default=0.0)
     p.add_argument("--save", default=None, help="write TUM trajectory here")
     p.add_argument("--seed", type=int, default=17)
+    p.add_argument(
+        "--dynamic", default="off", choices=["off", "none", "flow", "geom", "both"],
+        help="render a moving object and enable the dynamic-pixel filter",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -35,13 +39,22 @@ def main(argv=None):
 
     import numpy as np
 
-    from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+    from orb_slam2_ssd_semantic_tpu.config import DynamicConfig, SlamConfig
     from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
     from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
     from orb_slam2_ssd_semantic_tpu.tracking.tracker import Tracker
 
     cfg = SlamConfig()
-    seq = SyntheticSequence(n_frames=args.frames, seed=args.seed, depth_noise=args.depth_noise)
+    render_dynamic = args.dynamic not in ("off",)
+    if args.dynamic in ("flow", "both"):
+        cfg = cfg.replace(dynamic=DynamicConfig(
+            enable_flow=True, enable_geometry=args.dynamic == "both"))
+    elif args.dynamic == "geom":
+        cfg = cfg.replace(dynamic=DynamicConfig(enable_geometry=True))
+    seq = SyntheticSequence(
+        n_frames=args.frames, seed=args.seed, depth_noise=args.depth_noise,
+        dynamic_objects=render_dynamic,
+    )
     tracker = Tracker(cfg)
 
     frame_times = []

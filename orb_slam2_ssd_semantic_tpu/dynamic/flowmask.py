@@ -1,0 +1,81 @@
+"""Optical-flow dynamic-pixel mask.
+
+TPU-native equivalent of Flow::ComputeMask (perfect/src/Flow.cc:14-80):
+
+  1. (optional) warp the current gray image by a homography estimated
+     from static feature matches, cancelling camera ego-motion
+     (Flow.cc:73-80; H from Tracking::TrackHomo, Tracking.cc:1331-1399);
+  2. downsample x2 (Flow.cc:21 pyrDown);
+  3. dense flow vs the previous frame (Farneback there, pyramidal LK
+     here — ops/flow.py);
+  4. threshold the squared flow magnitude (`Dynamic.flow`, floor 40,
+     shipped 70 — Flow.cc:19,37);
+  5. morphology: erode x2 then dilate with a 21x21 ellipse
+     (Flow.cc:42-48);
+  6. upsample the static mask to full resolution.
+
+Returns mask (H, W) bool — True = STATIC (keep), matching the
+reference's convention where masked-out keypoints are dropped
+(Frame.cc:356-374).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import DynamicConfig
+from orb_slam2_ssd_semantic_tpu.ops import flow as flow_ops
+from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
+from orb_slam2_ssd_semantic_tpu.ops.homography import apply_homography
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def flow_dynamic_mask(
+    prev_gray: jnp.ndarray,
+    cur_gray: jnp.ndarray,
+    cfg: DynamicConfig = DynamicConfig(),
+    homography: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(H, W) bool static mask from flow consistency."""
+    h, w = cur_gray.shape
+    cur = cur_gray
+    if homography is not None:
+        # Warp current frame by H^-1 so static pixels align with prev
+        # (cv::warpPerspective(cur, cur_warped, H) semantics with
+        # WARP_INVERSE not set: output(p) = cur(H^-1 p)... the reference
+        # warps with H directly, Flow.cc:76; we sample cur at H(p)).
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        grid = jnp.stack(
+            [jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))], axis=-1
+        ).reshape(-1, 2)
+        src = apply_homography(homography, grid)
+        vals, _ = image_ops.bilinear_sample(cur_gray, src)
+        cur = vals.reshape(h, w)
+
+    s = cfg.flow_downscale
+    ph = image_ops.resize_bilinear(prev_gray, h // s, w // s)
+    ch = image_ops.resize_bilinear(cur, h // s, w // s)
+    f = flow_ops.dense_flow(ph, ch)
+    mag2 = flow_ops.flow_magnitude_sq(f)
+
+    # Threshold with the reference's floor rule (Flow.cc:33-38).
+    th = max(cfg.flow_threshold, cfg.flow_threshold_floor) / (s * s)
+    dynamic = mag2 > th
+
+    k = max(3, cfg.flow_morph_kernel // s)
+    dynamic = image_ops.erode(dynamic, k, iterations=2)
+    dynamic = image_ops.dilate(dynamic, k, iterations=1)
+
+    static_small = ~dynamic
+    static = image_ops.resize_bilinear(static_small.astype(jnp.float32), h, w) > 0.5
+    return static
+
+
+def static_area_fraction(mask: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of static pixels; the frame ctor only applies the mask if
+    >= 65% of the area is static (Frame.cc:357-374)."""
+    return jnp.mean(mask.astype(jnp.float32))

@@ -224,13 +224,20 @@ def orbit_trajectory(n_frames: int, room=(5.0, 3.0, 6.0), radius: float = 0.4,
 
 @dataclass
 class SyntheticSequence:
-    """Drop-in stand-in for TumSequence with exact ground truth."""
+    """Drop-in stand-in for TumSequence with exact ground truth.
+
+    With ``dynamic_objects=True`` a textured box sweeps laterally through
+    the view (the synthetic analogue of the walking people in TUM
+    fr3_walking) — the scene every dynamic-filter test runs on. The
+    ground-truth dynamic pixel mask is available via `dynamic_mask(i)`.
+    """
 
     n_frames: int = 60
     cam: CameraConfig = field(default_factory=CameraConfig)
     seed: int = 17
     depth_noise: float = 0.0
     fps: float = 30.0
+    dynamic_objects: bool = False
 
     def __post_init__(self):
         self.room = BoxRoom(seed=self.seed, cam=self.cam)
@@ -238,11 +245,41 @@ class SyntheticSequence:
         self.stamps = np.arange(self.n_frames) / self.fps
         self._rng = np.random.default_rng(self.seed)
 
+    def _moving_box(self, i: int):
+        """A 0.5 x 0.9 x 0.4 box crossing the camera's forward view at
+        0.9 m/s, ~1 m in front of the camera (apparent motion ~15 px per
+        frame at 30 fps — comparable to a person walking through the
+        fr3_walking views)."""
+        t = i / self.fps
+        x0 = 1.6 + 0.9 * t
+        return ((x0, 1.1, 3.9), (x0 + 0.5, 2.0, 4.3))
+
     def __len__(self):
         return self.n_frames
 
     def gray_depth(self, i: int):
+        if self.dynamic_objects:
+            saved = self.room.boxes
+            self.room.boxes = saved + [self._moving_box(i)]
+            try:
+                return self.room.render(self.poses_wc[i], self.depth_noise, self._rng)
+            finally:
+                self.room.boxes = saved
         return self.room.render(self.poses_wc[i], self.depth_noise, self._rng)
+
+    def dynamic_mask(self, i: int):
+        """(H, W) bool ground truth: True where the moving object is
+        visible (difference of the two depth renders)."""
+        if not self.dynamic_objects:
+            return np.zeros((self.cam.height, self.cam.width), bool)
+        _, d_static = self.room.render(self.poses_wc[i], ss=1)
+        saved = self.room.boxes
+        self.room.boxes = saved + [self._moving_box(i)]
+        try:
+            _, d_dyn = self.room.render(self.poses_wc[i], ss=1)
+        finally:
+            self.room.boxes = saved
+        return np.abs(d_dyn - d_static) > 1e-4
 
     def __getitem__(self, i: int):
         gray, depth = self.gray_depth(i)

@@ -1,0 +1,89 @@
+"""Dense optical flow as iterative pyramidal Lucas-Kanade.
+
+TPU-native replacement for cv::calcOpticalFlowFarneback as used by the
+reference's dynamic-pixel detector (perfect/src/Flow.cc:26). Farneback
+fits local polynomials; dense LK with iterative warping solves the same
+brightness-constancy problem with pure convolution / elementwise work,
+which maps better onto the VPU: per level, a fixed number of Gauss-
+Newton updates of the flow field using window-averaged structure
+tensors (box filters), coarse-to-fine with flow upsampling.
+
+The output is the backward-compatible (H, W, 2) flow field in pixels:
+position in `prev` + flow = position in `cur`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
+
+
+def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Sample img at (x + flow_x, y + flow_y), bilinear, edge-clamped."""
+    h, w = img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    u = jnp.clip(xs + flow[..., 0], 0.0, w - 1.0)
+    v = jnp.clip(ys + flow[..., 1], 0.0, h - 1.0)
+    uv = jnp.stack([u, v], axis=-1).reshape(-1, 2)
+    vals, _ = image_ops.bilinear_sample(img, uv)
+    return vals.reshape(h, w)
+
+
+def _lk_level(prev, cur, flow, window: int, iters: int, eps: float = 1e-4):
+    """Iterative LK refinement of `flow` on one pyramid level."""
+    gx, gy = image_ops.sobel(prev)
+    gx = gx / 8.0  # normalized sobel
+    gy = gy / 8.0
+
+    def body(_, flow):
+        warped = _warp(cur, flow)
+        it = warped - prev
+        # Structure tensor + mismatch vector, window-averaged.
+        ixx = image_ops.box_filter(gx * gx, window)
+        ixy = image_ops.box_filter(gx * gy, window)
+        iyy = image_ops.box_filter(gy * gy, window)
+        ixt = image_ops.box_filter(gx * it, window)
+        iyt = image_ops.box_filter(gy * it, window)
+        det = ixx * iyy - ixy * ixy
+        det_safe = jnp.where(jnp.abs(det) < eps, eps, det)
+        du = -(iyy * ixt - ixy * iyt) / det_safe
+        dv = -(ixx * iyt - ixy * ixt) / det_safe
+        ok = (jnp.abs(det) > eps).astype(jnp.float32)
+        step = jnp.stack([du * ok, dv * ok], axis=-1)
+        step = jnp.clip(step, -window, window)
+        return flow + step
+
+    return jax.lax.fori_loop(0, iters, body, flow)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "window", "iters"))
+def dense_flow(
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    levels: int = 3,
+    window: int = 9,
+    iters: int = 5,
+) -> jnp.ndarray:
+    """Dense flow prev->cur, (H, W, 2) float32 pixels."""
+    prevs = image_ops.build_pyramid(prev, levels, 2.0)
+    curs = image_ops.build_pyramid(cur, levels, 2.0)
+    h_top, w_top = prevs[-1].shape
+    flow = jnp.zeros((h_top, w_top, 2), jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        if lvl < levels - 1:
+            h, w = prevs[lvl].shape
+            fh, fw = flow.shape[:2]
+            flow = jax.image.resize(flow, (h, w, 2), method="linear") * jnp.asarray(
+                [w / fw, h / fh], jnp.float32
+            )
+        flow = _lk_level(prevs[lvl], curs[lvl], flow, window, iters)
+    return flow
+
+
+def flow_magnitude_sq(flow: jnp.ndarray) -> jnp.ndarray:
+    return flow[..., 0] ** 2 + flow[..., 1] ** 2

@@ -46,8 +46,23 @@ class Frame(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def build_frame(gray: jnp.ndarray, depth_img: jnp.ndarray, cfg: SlamConfig) -> Frame:
+def build_frame(
+    gray: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    cfg: SlamConfig,
+    static_mask: jnp.ndarray | None = None,
+) -> Frame:
+    """Frame construction. With a dynamic-filter mask, keypoints on
+    dynamic pixels are invalidated — the behavioral equivalent of the
+    reference's masked Frame ctor (Frame.cc:328-420), which re-extracts
+    and drops masked keypoints — guarded by the >=65% static-area check
+    (Frame.cc:357-374) so a degenerate mask never blanks the frame."""
     feats = extract(gray, cfg.orb)
+    if static_mask is not None:
+        ms, _ = image_ops.nearest_sample(static_mask.astype(jnp.float32), feats.uv)
+        static_frac = jnp.mean(static_mask.astype(jnp.float32))
+        apply = static_frac >= cfg.dynamic.min_static_area
+        feats = feats._replace(valid=feats.valid & ((ms > 0.5) | ~apply))
     uv_ud = cam_ops.undistort_points(feats.uv, cfg.camera)
     feats = feats._replace(uv=jnp.where(feats.valid[:, None], uv_ud, 0.0))
     # Depth at the *raw* keypoint location (nearest-neighbor: depth maps
@@ -355,6 +370,13 @@ class Tracker:
         self.last_frame: Frame | None = None
         self.last_kp_point = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
         self.last_T_cw = jnp.eye(4, dtype=jnp.float32)
+        self.prev_gray = None
+        if cfg.dynamic.enable_geometry:
+            from orb_slam2_ssd_semantic_tpu.dynamic.geommask import empty_ref_views
+
+            self.geom_db = empty_ref_views(cfg.dynamic.geom_db_size, cfg.orb.max_keypoints)
+        else:
+            self.geom_db = None
         self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.initialized = False
         self.frame_id = 0
@@ -365,9 +387,39 @@ class Tracker:
         self.status = "INIT"
 
     def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
-        """Track one RGB-D frame; returns T_cw (4,4) numpy."""
+        """Track one RGB-D frame; returns T_cw (4,4) numpy.
+
+        Dynamic filtering (the reference's pre-tracking stage,
+        Tracking.cc:688-719) runs here when enabled: flow mask vs the
+        previous gray image with rotation-homography ego-motion
+        compensation, and/or the multi-view geometry mask against the
+        recent keyframe views."""
         cfg = self.cfg
-        frame = build_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
+        gray = jnp.asarray(gray)
+        depth = jnp.asarray(depth)
+        static_mask = None
+        if cfg.dynamic.enable_flow and self.prev_gray is not None:
+            from orb_slam2_ssd_semantic_tpu.dynamic.flowmask import flow_dynamic_mask
+            from orb_slam2_ssd_semantic_tpu.geometry.camera import intrinsics_matrix
+
+            # Ego-motion compensation homography from the PREDICTED
+            # relative rotation: H = K R_rel K^-1. (The reference fits H
+            # to feature matches via a throwaway light track,
+            # Tracking.cc:1331-1399; the rotation-induced homography
+            # needs no second feature extraction and captures the
+            # dominant ego-motion for room-scale depth.)
+            K = intrinsics_matrix(cfg.camera)
+            R_rel = (self.velocity @ jnp.eye(4, dtype=jnp.float32))[:3, :3]
+            H = K @ R_rel.T @ jnp.linalg.inv(K)
+            static_mask = flow_dynamic_mask(self.prev_gray, gray, cfg.dynamic, H)
+        if cfg.dynamic.enable_geometry and self.geom_db is not None and self.initialized:
+            from orb_slam2_ssd_semantic_tpu.dynamic.geommask import geometry_dynamic_mask
+
+            T_pred = self.velocity @ self.last_T_cw
+            gmask = geometry_dynamic_mask(self.geom_db, T_pred, depth, cfg.camera, cfg.dynamic)
+            static_mask = gmask if static_mask is None else (static_mask & gmask)
+        self.prev_gray = gray
+        frame = build_frame(gray, depth, cfg, static_mask)
 
         if not self.initialized:
             T_cw = jnp.eye(4, dtype=jnp.float32)
@@ -432,6 +484,15 @@ class Tracker:
             )
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
+            if self.geom_db is not None:
+                # Geometry-mask reference-view DB update on keyframes
+                # (GeometricModelUpdateDB, Geometry.cc:73-79,532-546).
+                from orb_slam2_ssd_semantic_tpu.dynamic.geommask import insert_ref_view
+
+                self.geom_db = insert_ref_view(
+                    self.geom_db, T_cw, frame.feats.uv, frame.kp_depth,
+                    frame.feats.valid & frame.is_stereo,
+                )
             # Local mapping: BA over the recent window + point culling
             # (LocalMapping thread equivalent; runs synchronously here,
             # async dispatch is a scale-out concern).
