@@ -1,0 +1,108 @@
+"""Detection pipeline: preprocessing, jitted forward, decode + NMS.
+
+The TPU replacement of the reference's Detector/RunDetect pair
+(perfect/src/Detector.cc:27-75, RunDetect.cc:29-61): instead of a
+dedicated CPU thread consuming a condition-variable queue, pending
+keyframe images are batched through one jitted forward pass; results
+land in fixed-capacity Detection arrays with validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_ssd_semantic_tpu.config import SemanticConfig
+from orb_slam2_ssd_semantic_tpu.semantic.ssdlite import (
+    SSDLite,
+    decode_boxes,
+    init_ssdlite,
+    ssd_anchors,
+)
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity per-image detections (Detector.h:14-20 Object)."""
+
+    boxes: jnp.ndarray  # (D, 4) [x1, y1, x2, y2] in source pixels
+    scores: jnp.ndarray  # (D,)
+    classes: jnp.ndarray  # (D,) int32 (VOC index, 0 = background)
+    valid: jnp.ndarray  # (D,) bool
+
+
+def preprocess(rgb: jnp.ndarray, size: int = 300) -> jnp.ndarray:
+    """(H, W, 3) uint8/float -> (size, size, 3) normalized like the
+    reference (mean/std 127.5, Detector.cc:38-41)."""
+    img = jax.image.resize(rgb.astype(jnp.float32), (size, size, 3), "linear")
+    return (img - 127.5) / 127.5
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    x1 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y1 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x2 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y2 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) * jnp.maximum(boxes[:, 3] - boxes[:, 1], 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(boxes, scores, classes, top_k: int, iou_th: float):
+    """Greedy class-aware NMS over a fixed top_k candidate set, fully
+    vectorized: keep box i iff no higher-scored same-class box overlaps
+    it above iou_th (matrix formulation of greedy suppression)."""
+    order = jnp.argsort(-scores)
+    boxes, scores, classes = boxes[order], scores[order], classes[order]
+    iou = _iou_matrix(boxes)
+    same = classes[:, None] == classes[None, :]
+    higher = jnp.arange(top_k)[:, None] > jnp.arange(top_k)[None, :]
+    suppressed_by = (iou > iou_th) & same & higher
+
+    def body(i, keep):
+        sup = jnp.any(suppressed_by[i] & keep, axis=-1)
+        return keep.at[i].set(~sup & keep[i])
+
+    keep0 = jnp.ones((top_k,), bool)
+    keep = jax.lax.fori_loop(0, top_k, body, keep0)
+    return boxes, scores, classes, keep
+
+
+class Detector:
+    """Host wrapper owning model params and the jitted detect function."""
+
+    def __init__(self, cfg: SemanticConfig = SemanticConfig(), params=None, seed: int = 0):
+        self.cfg = cfg
+        self.model, init_params = init_ssdlite(jax.random.PRNGKey(seed), cfg.num_classes)
+        self.params = params if params is not None else init_params
+        self.anchors = jnp.asarray(ssd_anchors(cfg.det_input_size))
+
+        @functools.partial(jax.jit, static_argnames=("h", "w"))
+        def _detect(params, rgb, h: int, w: int):
+            x = preprocess(rgb, cfg.det_input_size)[None]
+            loc, conf = self.model.apply(params, x)
+            boxes = decode_boxes(loc[0], self.anchors)
+            probs = jax.nn.softmax(conf[0], axis=-1)
+            cls_prob = probs[:, 1:]  # drop background
+            best_cls = jnp.argmax(cls_prob, axis=-1) + 1
+            best_score = jnp.max(cls_prob, axis=-1)
+            D = cfg.max_detections
+            top_scores, top_idx = jax.lax.top_k(best_score, D)
+            b = boxes[top_idx] * jnp.asarray([w, h, w, h], jnp.float32)
+            c = best_cls[top_idx]
+            b, s, c, keep = nms_fixed(b, top_scores, c, D, cfg.det_nms_iou)
+            valid = keep & (s >= cfg.det_score_threshold)
+            return Detections(b, s, c.astype(jnp.int32), valid)
+
+        self._detect = _detect
+
+    def __call__(self, rgb: np.ndarray) -> Detections:
+        h, w = rgb.shape[:2]
+        return self._detect(self.params, jnp.asarray(rgb), h, w)
+
+    def detect_batch(self, rgbs) -> list:
+        return [self(r) for r in rgbs]

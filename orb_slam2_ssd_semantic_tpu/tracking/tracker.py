@@ -360,6 +360,86 @@ def insert_keyframe(
     return state, kp_point
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "use_mask"), donate_argnames=("state",))
+def fused_track_step(
+    state: SlamState,
+    gray: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    last_frame: Frame,
+    last_T_cw: jnp.ndarray,
+    last_kp_point: jnp.ndarray,
+    velocity: jnp.ndarray,
+    frames_since_kf: jnp.ndarray,
+    ref_kf_inliers: jnp.ndarray,
+    cfg: SlamConfig,
+    static_mask: jnp.ndarray | None = None,
+    use_mask: bool = False,
+):
+    """The whole per-frame hot path as ONE compiled program: frame build,
+    motion-model tracking, local-map tracking, pose selection, keyframe
+    decision, velocity update. The host performs a single small transfer
+    per frame (a packed stats vector) — essential on hardware where every
+    dispatch/sync round trip costs milliseconds (SURVEY.md §7 hard part
+    #4: keep the 30 Hz path in one jit).
+
+    Returns (state, frame, T_cw, velocity, kp_point, packed) where
+    packed = [T_cw flat (16), status, need_kf, n_inliers, n_matches,
+    n_inl_mm] as float32.
+    """
+    t = cfg.tracking
+    frame = build_frame(gray, depth_img, cfg, static_mask if use_mask else None)
+
+    T_pred = velocity @ last_T_cw
+    T_mm, n_match_mm, n_inl_mm = track_motion_model(
+        frame, last_frame, last_T_cw, T_pred, cfg,
+        map_pos=state.points.pos,
+        map_valid=state.points.valid,
+        last_kp_point=last_kp_point,
+    )
+    mm_jump = jnp.linalg.norm(T_mm[:3, 3] - T_pred[:3, 3])
+    ok_mm = (n_inl_mm >= t.min_inliers_track) & (mm_jump < 0.5)
+    T_seed = jnp.where(ok_mm, T_mm, T_pred)
+
+    state, res = track_local_map(state, frame, T_seed, cfg)
+    ok_lm = res.n_inliers >= t.min_inliers_local_map
+    T_cw = jnp.where(ok_lm, res.T_cw, jnp.where(ok_mm, T_mm, last_T_cw))
+    status = jnp.where(ok_lm, 0, jnp.where(ok_mm, 1, 2))  # OK/WEAK/LOST
+
+    # Keyframe decision (NeedNewKeyFrame rules; see Tracker._need_keyframe).
+    close = frame.feats.valid & (frame.kp_depth > 0) & (
+        frame.kp_depth < cfg.camera.depth_threshold
+    )
+    n_close_tracked = jnp.sum((close & (res.kp_point >= 0)).astype(jnp.int32))
+    n_close_untracked = jnp.sum((close & (res.kp_point < 0)).astype(jnp.int32))
+    need_close = (n_close_tracked < t.min_close_points) & (
+        n_close_untracked > t.max_non_tracked_close
+    )
+    need_kf = ok_lm & (
+        (frames_since_kf >= t.max_frames_between_kfs)
+        | need_close
+        | (res.n_inliers < 0.75 * jnp.maximum(ref_kf_inliers, 1))
+    ) & (res.n_inliers >= t.min_inliers_track)
+
+    rel = T_cw @ se3.se3_inverse(last_T_cw)
+    vel_new = jnp.where(
+        status == 2,
+        jnp.eye(4, dtype=jnp.float32),
+        se3.se3_exp(t.velocity_damping * se3.se3_log(rel)),
+    )
+
+    packed = jnp.concatenate([
+        T_cw.reshape(-1),
+        jnp.stack([
+            status.astype(jnp.float32),
+            need_kf.astype(jnp.float32),
+            res.n_inliers.astype(jnp.float32),
+            res.n_matches.astype(jnp.float32),
+            n_inl_mm.astype(jnp.float32),
+        ]),
+    ])
+    return state, frame, T_cw, vel_new, res.kp_point, packed
+
+
 class Tracker:
     """Host-side per-frame sequencing (the reference's Tracking state
     machine, minus threads). Owns the SlamState and the motion model."""
@@ -382,9 +462,14 @@ class Tracker:
         self.frame_id = 0
         self.frames_since_kf = 0
         self.ref_kf_inliers = 0
-        self.trajectory: list = []  # (stamp, T_cw np)
+        self.trajectory: list = []  # (stamp, ref_kf, T_rel np)
         self.stats: list = []
         self.status = "INIT"
+        # Host-side mirrors of rarely-changing device scalars, so the hot
+        # loop never fetches them (each fetch is a device round trip).
+        self._n_kfs = 0
+        self._n_points = 0
+        self._ref_kf_pose_np = np.eye(4, dtype=np.float32)
 
     def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
         """Track one RGB-D frame; returns T_cw (4,4) numpy.
@@ -419,9 +504,9 @@ class Tracker:
             gmask = geometry_dynamic_mask(self.geom_db, T_pred, depth, cfg.camera, cfg.dynamic)
             static_mask = gmask if static_mask is None else (static_mask & gmask)
         self.prev_gray = gray
-        frame = build_frame(gray, depth, cfg, static_mask)
 
         if not self.initialized:
+            frame = build_frame(gray, depth, cfg, static_mask)
             T_cw = jnp.eye(4, dtype=jnp.float32)
             kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
             self.state, kp_point = insert_keyframe(
@@ -431,56 +516,35 @@ class Tracker:
             self.initialized = True
             self.status = "OK"
             self.ref_kf_inliers = int(jnp.sum(frame.is_stereo & frame.feats.valid))
-            self._finish(frame, T_cw, stamp, 0, 0, kp_point)
-            return np.asarray(T_cw)
+            self._on_keyframe_inserted()
+            self._record(frame, T_cw, np.eye(4, dtype=np.float32), kp_point,
+                         jnp.eye(4, dtype=jnp.float32), stamp, 0, 0)
+            return np.eye(4, dtype=np.float32)
 
-        T_pred = self.velocity @ self.last_T_cw
-        T_mm, n_match_mm, n_inl_mm = track_motion_model(
-            frame, self.last_frame, self.last_T_cw, T_pred, cfg,
-            map_pos=self.state.points.pos,
-            map_valid=self.state.points.valid,
-            last_kp_point=self.last_kp_point,
+        # ---- the fused hot path: one jit call + one small fetch ----------
+        self.state, frame, T_cw, velocity, kp_point, packed = fused_track_step(
+            self.state,
+            gray,
+            depth,
+            self.last_frame,
+            self.last_T_cw,
+            self.last_kp_point,
+            self.velocity,
+            jnp.int32(self.frames_since_kf),
+            jnp.int32(self.ref_kf_inliers),
+            cfg,
+            static_mask=static_mask,
+            use_mask=static_mask is not None,
         )
-        # Fall back to the prediction if motion-model tracking failed
-        # (reference falls back to reference-KF BoW tracking; with a
-        # persistent map the local-map stage plays that role).
-        # Sanity gate: a per-frame correction beyond plausible camera
-        # motion means the solve latched onto garbage; never accept it.
-        mm_jump = float(jnp.linalg.norm(T_mm[:3, 3] - T_pred[:3, 3]))
-        ok_mm = int(n_inl_mm) >= cfg.tracking.min_inliers_track and mm_jump < 0.5
-        T_seed = T_mm if ok_mm else T_pred
+        p = np.asarray(packed)  # the single per-frame device sync
+        T_np = p[:16].reshape(4, 4).astype(np.float32)
+        status_code, need_kf = int(p[16]), bool(p[17] > 0.5)
+        n_inl, n_matches = int(p[18]), int(p[19])
+        self.status = ("OK", "WEAK", "LOST")[status_code]
 
-        self.state, res = track_local_map(self.state, frame, T_seed, cfg)
-        n_inl = int(res.n_inliers)
-
-        # Accept the local-map refinement only when well-constrained
-        # (reference declares LOST below 30 inliers, Tracking.cc:2166-2180).
-        if n_inl >= cfg.tracking.min_inliers_local_map:
-            self.status = "OK"
-            T_cw = res.T_cw
-        elif ok_mm:
-            self.status = "WEAK"
-            T_cw = T_mm
-        else:
-            # Lost: freeze rather than extrapolate — an exploding velocity
-            # model must never poison the trajectory. (Relocalization is
-            # the stage-2 recovery path, Tracking.cc:2714.)
-            self.status = "LOST"
-            T_cw = self.last_T_cw
-
-        kp_point = res.kp_point
-        # Close-point census for the RGB-D keyframe rule
-        # (NeedNewKeyFrame c1c, Tracking.cc:2430-2470).
-        close = frame.feats.valid & (frame.kp_depth > 0) & (
-            frame.kp_depth < cfg.camera.depth_threshold
-        )
-        n_close_tracked = int(jnp.sum(close & (kp_point >= 0)))
-        n_close_untracked = int(jnp.sum(close & (kp_point < 0)))
-        if self.status == "OK" and self._need_keyframe(
-            n_inl, n_close_tracked, n_close_untracked
-        ):
+        if need_kf:
             self.state, kp_point = insert_keyframe(
-                self.state, frame, T_cw, res.kp_point, self.frame_id, stamp, cfg
+                self.state, frame, T_cw, kp_point, self.frame_id, stamp, cfg
             )
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
@@ -496,65 +560,43 @@ class Tracker:
             # Local mapping: BA over the recent window + point culling
             # (LocalMapping thread equivalent; runs synchronously here,
             # async dispatch is a scale-out concern).
-            if int(self.state.n_kfs) >= 3:
+            if self._n_kfs + 1 >= 3:
                 from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import (
                     local_mapping_step,
                 )
 
                 self.state = local_mapping_step(self.state, cfg)
-                # Re-anchor the tracker on the BA-refined newest keyframe.
-                T_cw = self.state.kfs.T_cw[int(self.state.n_kfs) - 1]
+                # Re-anchor on the BA-refined newest keyframe.
+                T_cw = self.state.kfs.T_cw[self._n_kfs]
+                T_np = np.asarray(T_cw)
+            self._on_keyframe_inserted()
         else:
             self.frames_since_kf += 1
 
-        self._finish(frame, T_cw, stamp, int(res.n_matches), n_inl, kp_point)
-        return np.asarray(T_cw)
+        self._record(frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inl)
+        return T_np
 
-    def _need_keyframe(self, n_inliers: int, n_close_tracked: int,
-                       n_close_untracked: int) -> bool:
-        """KF decision (NeedNewKeyFrame, Tracking.cc:2360-2509):
-        - time rule (c1a),
-        - coverage decay below thRefRatio of the reference keyframe (c1b,
-          0.75 for RGB-D),
-        - the RGB-D close-point rule (c1c): too few tracked close points
-          while plenty of fresh close ones are available. This is the
-          rule that keeps RGB-D keyframes frequent and the map anchored
-          to current geometry — a late keyframe anchors a drifted pose.
-        """
-        t = self.cfg.tracking
-        if n_inliers < t.min_inliers_track:
-            return False  # too weak to anchor a KF
-        if self.frames_since_kf >= t.max_frames_between_kfs:
-            return True
-        need_close = (
-            n_close_tracked < t.min_close_points
-            and n_close_untracked > t.max_non_tracked_close
-        )
-        return need_close or n_inliers < 0.75 * max(self.ref_kf_inliers, 1)
+    def _on_keyframe_inserted(self):
+        """Refresh host-side mirrors after (rare) keyframe/BA updates."""
+        self._n_kfs = int(self.state.n_kfs)
+        self._n_points = int(self.state.n_points)
+        self._ref_kf_pose_np = np.asarray(self.state.kfs.T_cw[self._n_kfs - 1])
 
-    def _finish(self, frame: Frame, T_cw, stamp, n_matches, n_inliers, kp_point=None):
-        if kp_point is None:
-            kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
+    def _record(self, frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inliers):
         self.last_kp_point = kp_point
-        if self.status == "LOST" or self.last_frame is None:
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
-        else:
-            rel = T_cw @ se3.se3_inverse(self.last_T_cw)
-            alpha = self.cfg.tracking.velocity_damping
-            self.velocity = se3.se3_exp(alpha * se3.se3_log(rel))
+        self.velocity = velocity
         self.last_frame = frame
         self.last_T_cw = T_cw
         self.frame_id += 1
         # Record the pose RELATIVE to the current reference keyframe, so
         # later BA corrections of keyframe poses retroactively improve the
         # whole trajectory (SaveTrajectoryTUM semantics, System.cc:476-502).
-        ref_kf = max(int(self.state.n_kfs) - 1, 0)
-        T_ref = np.asarray(self.state.kfs.T_cw[ref_kf])
-        T_rel = np.asarray(T_cw) @ np.linalg.inv(T_ref)
+        ref_kf = max(self._n_kfs - 1, 0)
+        T_rel = T_np @ np.linalg.inv(self._ref_kf_pose_np)
         self.trajectory.append((stamp, ref_kf, T_rel))
         self.stats.append(
             {"matches": n_matches, "inliers": n_inliers, "status": self.status,
-             "kfs": int(self.state.n_kfs), "points": int(self.state.n_points)}
+             "kfs": self._n_kfs, "points": self._n_points}
         )
 
     # -- outputs ------------------------------------------------------------
