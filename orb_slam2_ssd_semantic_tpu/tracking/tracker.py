@@ -57,6 +57,14 @@ def build_frame(
     reference's masked Frame ctor (Frame.cc:328-420), which re-extracts
     and drops masked keypoints — guarded by the >=65% static-area check
     (Frame.cc:357-374) so a degenerate mask never blanks the frame."""
+    # Accept compact transfer dtypes (the host->device link is the
+    # bottleneck at 30 Hz): uint8 gray, uint16 millimeter depth.
+    if gray.dtype != jnp.float32:
+        gray = gray.astype(jnp.float32)
+    if depth_img.dtype == jnp.uint16:
+        depth_img = depth_img.astype(jnp.float32) * 1e-3
+    elif depth_img.dtype != jnp.float32:
+        depth_img = depth_img.astype(jnp.float32)
     feats = extract(gray, cfg.orb)
     if static_mask is not None:
         ms, _ = image_ops.nearest_sample(static_mask.astype(jnp.float32), feats.uv)

@@ -1,0 +1,87 @@
+"""System facade: full pipeline integration, persistence, localization mode."""
+
+import numpy as np
+import pytest
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+from orb_slam2_ssd_semantic_tpu.system import SlamSystem
+
+
+@pytest.fixture(scope="module")
+def full_run():
+    seq = SyntheticSequence(n_frames=14)
+    sys_ = SlamSystem(SlamConfig(), enable_semantics=True, enable_dense_map=True)
+    for i in range(len(seq)):
+        stamp, rgb, depth = seq[i]
+        sys_.track_rgbd(rgb, depth, stamp)
+    return seq, sys_
+
+
+def test_full_pipeline_tracks(full_run):
+    seq, sys_ = full_run
+    assert sys_.status == "OK"
+    res = evaluate_ate_xyz(sys_.tracker.camera_positions(), seq.gt_positions())
+    assert res.rmse < 0.02
+
+
+def test_occupancy_map_builds(full_run):
+    _, sys_ = full_run
+    from orb_slam2_ssd_semantic_tpu.dense.occupancy import occupied_mask
+
+    n_occ = int(np.asarray(occupied_mask(sys_.grid, sys_.cfg.dense)).sum())
+    assert n_occ > 500  # the room's visible surfaces got voxels
+
+
+def test_octomap_save_load(tmp_path, full_run):
+    _, sys_ = full_run
+    p = str(tmp_path / "octo.npz")
+    sys_.save_octomap(p)
+    lo_before = np.asarray(sys_.grid.log_odds).copy()
+    sys_.load_octomap(p)
+    np.testing.assert_allclose(np.asarray(sys_.grid.log_odds), lo_before)
+
+
+def test_map_save_load_and_localization(tmp_path, full_run):
+    seq, sys_ = full_run
+    p = str(tmp_path / "map.npz")
+    sys_.save_map(p)
+
+    # Fresh system, load the map, run localization-only on later frames.
+    sys2 = SlamSystem(SlamConfig())
+    sys2.load_map(p)
+    sys2.activate_localization_mode()
+    # Seed pose continuity: hand it the last tracked state.
+    sys2.tracker.last_T_cw = sys_.tracker.last_T_cw
+    sys2.tracker.last_frame = sys_.tracker.last_frame
+    sys2.tracker.last_kp_point = sys_.tracker.last_kp_point
+    kfs_before = sys2.tracker._n_kfs
+    for i in range(10, 14):
+        stamp, rgb, depth = seq[i]
+        sys2.track_rgbd(rgb, depth, stamp)
+    assert sys2.tracker._n_kfs == kfs_before  # no new KFs in localization
+    assert sys2.status in ("OK", "WEAK")
+
+
+def test_trajectory_writers(tmp_path, full_run):
+    _, sys_ = full_run
+    from orb_slam2_ssd_semantic_tpu.io.tum import read_trajectory
+
+    t1 = str(tmp_path / "traj.txt")
+    t2 = str(tmp_path / "kf_traj.txt")
+    t3 = str(tmp_path / "kitti.txt")
+    sys_.save_trajectory_tum(t1)
+    sys_.save_keyframe_trajectory_tum(t2)
+    sys_.save_trajectory_kitti(t3)
+    s1, _, _ = read_trajectory(t1)
+    s2, _, _ = read_trajectory(t2)
+    assert len(s1) == 14
+    assert 1 <= len(s2) <= 14
+    assert len(open(t3).readlines()) == 14
+
+
+def test_reset(full_run):
+    _, sys_ = full_run
+    sys_.reset()
+    assert not sys_.tracker.initialized
