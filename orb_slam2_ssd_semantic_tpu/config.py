@@ -208,6 +208,9 @@ class LoopConfig:
     """Loop closing / place recognition (perfect/src/LoopClosing.cc,
     KeyFrameDatabase.cc)."""
 
+    enabled: bool = True
+    # Relocalization after tracking loss (Tracking.cc:2714).
+    enable_relocalization: bool = True
     # Consecutive consistent detections required (LoopClosing.cc:52).
     covisibility_consistency_th: int = 3
     # Candidate score must exceed 0.8 x best (KeyFrameDatabase.cc:76-197

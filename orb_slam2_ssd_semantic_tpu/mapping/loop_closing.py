@@ -1,0 +1,190 @@
+"""Loop detection and closure.
+
+The engine's equivalent of the LoopClosing thread (perfect/src/
+LoopClosing.cc:55-826), sequenced per new keyframe:
+
+  1. DetectLoop: bag-of-words scoring of the new keyframe against all
+     non-neighbor keyframes, gated by the lowest covis-neighbor score
+     (LoopClosing.cc:119-297), requiring `covisibility_consistency_th`
+     consecutive detections of the same region (3, LoopClosing.h:52).
+  2. ComputeSim3: descriptor matching new KF <-> candidate, 3D-3D
+     RANSAC rigid alignment from the keyframes' depth (scale fixed for
+     RGB-D as in Sim3Solver), accept at >= sim3_min_inliers.
+  3. CorrectLoop: add the loop edge and run the batched SE(3) pose-graph
+     optimization over spanning + strong-covisibility + loop edges
+     (OptimizeEssentialGraph equivalent), then rigidly carry each map
+     point with its reference keyframe's correction
+     (LoopClosing.cc:606-640 point propagation).
+
+State lives in fixed-capacity arrays (BoW vectors per keyframe); the
+host only sequences and keeps the small consistency counter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.geometry.ransac3d import ransac_rigid
+from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
+from orb_slam2_ssd_semantic_tpu.mapping import place_recognition as pr
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+    SlamState,
+    covisibility,
+    covisibility_row,
+)
+from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
+    build_graph_arrays,
+    optimize_pose_graph,
+)
+from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        F = cfg.map.max_keyframes
+        self.bow_db = jnp.zeros((F, pr.VOCAB_SIZE), jnp.float32)
+        self.consistency: dict = {}  # candidate region -> consecutive count
+        self.loops: list = []  # accepted (kf_i, kf_j, T_ji)
+        self.last_loop_kf = -1
+
+    # ---- per-keyframe hooks ----------------------------------------------
+
+    def on_keyframe(self, state: SlamState, kf_id: int):
+        """Update the BoW database and attempt loop detection/closure.
+        Returns (state, closed: bool)."""
+        cfg = self.cfg
+        desc = state.kfs.desc[kf_id]
+        valid = state.kfs.kp_valid[kf_id]
+        vec = pr.bow_vector(desc, valid)
+        self.bow_db = self.bow_db.at[kf_id].set(vec)
+
+        if kf_id < cfg.loop.min_kfs_before_loop or (
+            kf_id - self.last_loop_kf < cfg.loop.min_kfs_before_loop
+        ):
+            return state, False
+
+        cand = self._detect(state, kf_id, vec)
+        if cand is None:
+            return state, False
+        ok, T_ji, n_inl = self._estimate_loop_transform(state, kf_id, cand)
+        if not ok:
+            return state, False
+        state = self._correct(state, kf_id, cand, T_ji)
+        self.loops.append((cand, kf_id, np.asarray(T_ji)))
+        self.last_loop_kf = kf_id
+        return state, True
+
+    # ---- detection --------------------------------------------------------
+
+    def _detect(self, state: SlamState, kf_id: int, vec):
+        cfg = self.cfg
+        F = self.bow_db.shape[0]
+        W = np.asarray(covisibility_row(
+            state.kfs.kp_point, state.kfs.valid, kf_id, state.points.pos.shape[0]
+        ))
+        neighbors = W >= cfg.map.covis_weight_threshold
+        # Min covis-neighbor score normalization (LoopClosing.cc:143-160).
+        if neighbors.any():
+            nb_scores = np.asarray(pr.bow_scores(vec, self.bow_db))[neighbors]
+            min_score = float(nb_scores.min())
+        else:
+            min_score = 0.0
+        exclude = np.zeros(F, bool)
+        exclude[kf_id] = True
+        exclude |= neighbors
+        # Also exclude temporally-adjacent keyframes (they share the view
+        # trivially; the reference excludes via covisibility groups).
+        lo = max(0, kf_id - cfg.loop.min_kfs_before_loop)
+        exclude[lo : kf_id + 1] = True
+
+        ids, scores, ok = pr.detect_candidates(
+            vec, self.bow_db, np.asarray(state.kfs.valid), jnp.asarray(exclude),
+            jnp.float32(min_score),
+        )
+        ids = np.asarray(ids)
+        ok = np.asarray(ok)
+        if not ok.any():
+            self.consistency = {}
+            return None
+        best = int(ids[np.argmax(np.where(ok, np.asarray(scores), -1))])
+        # Consecutive-consistency requirement (LoopClosing.cc:200-290):
+        # the same region (candidate +-2 keyframes) must be detected in
+        # `covisibility_consistency_th` consecutive keyframes.
+        region = best // 3
+        self.consistency = {
+            region: self.consistency.get(region, 0) + 1
+        }
+        if self.consistency[region] < cfg.loop.covisibility_consistency_th:
+            return None
+        return best
+
+    # ---- Sim3 / rigid estimation ------------------------------------------
+
+    def _estimate_loop_transform(self, state: SlamState, kf_id: int, cand: int):
+        cfg = self.cfg
+        cam = cfg.camera
+        di = state.kfs.desc[cand]
+        dj = state.kfs.desc[kf_id]
+        vi = state.kfs.kp_valid[cand] & (state.kfs.depth[cand] > 0)
+        vj = state.kfs.kp_valid[kf_id] & (state.kfs.depth[kf_id] > 0)
+        dist = match_ops.hamming_matrix(di, dj)
+        mask = vi[:, None] & vj[None, :]
+        m = match_ops.masked_best_match(
+            dist, mask, max_dist=match_ops.TH_LOW, ratio=0.75, mutual=True
+        )
+        # 3D points in each keyframe's own camera frame.
+        pi = cam_ops.backproject(state.kfs.uv[cand], state.kfs.depth[cand], cam)
+        pj = cam_ops.backproject(state.kfs.uv[kf_id], state.kfs.depth[kf_id], cam)
+        tgt = jnp.clip(m.idx, 0, pj.shape[0] - 1)
+        src = pi
+        dst = pj[tgt]
+        s, R, t, inl, n_inl = ransac_rigid(
+            src, dst, m.valid, jax.random.PRNGKey(kf_id),
+            threshold=0.10, with_scale=False,
+        )
+        n = int(n_inl)
+        if n < cfg.loop.sim3_min_inliers:
+            return False, None, n
+        # T_j_from_i in camera frames: p_j = R p_i + t ->
+        # loop constraint T_ji = T_j_cw @ inv(T_i_cw) measured = [R | t].
+        T_ji = np.eye(4, dtype=np.float32)
+        T_ji[:3, :3] = np.asarray(R)
+        T_ji[:3, 3] = np.asarray(t)
+        return True, jnp.asarray(T_ji), n
+
+    # ---- correction -------------------------------------------------------
+
+    def _correct(self, state: SlamState, kf_id: int, cand: int, T_ji):
+        cfg = self.cfg
+        F = state.kfs.valid.shape[0]
+        covis = covisibility(
+            state.kfs.kp_point, state.kfs.valid, state.points.pos.shape[0]
+        )
+        T_before = state.kfs.T_cw
+        graph = build_graph_arrays(
+            covis, state.kfs.valid, threshold=100,
+            max_edges=4 * F, T_cw=T_before,
+            extra_edges=[(cand, kf_id, 500.0, np.asarray(T_ji))],
+        )
+        T_after = optimize_pose_graph(T_before, state.kfs.valid, graph)
+
+        # Carry each map point rigidly with its reference keyframe
+        # (LoopClosing.cc:606-640): p' = inv(T'_ref) @ T_ref @ p.
+        ref = jnp.clip(state.points.ref_kf, 0, F - 1)
+        T_old = T_before[ref]  # (P, 4, 4)
+        T_new = T_after[ref]
+        p = state.points.pos
+        p_cam = jnp.einsum("pij,pj->pi", T_old[:, :3, :3], p) + T_old[:, :3, 3]
+        Rn = jnp.swapaxes(T_new[:, :3, :3], -1, -2)
+        p_new = jnp.einsum("pij,pj->pi", Rn, p_cam - T_new[:, :3, 3])
+        pts = state.points._replace(
+            pos=jnp.where(state.points.valid[:, None], p_new, p)
+        )
+        kfs = state.kfs._replace(T_cw=T_after)
+        return state._replace(points=pts, kfs=kfs)

@@ -111,6 +111,24 @@ def covisibility(kp_point: jnp.ndarray, kf_valid: jnp.ndarray, point_capacity: i
     return W - jnp.diag(jnp.diag(W))
 
 
+@functools.partial(jax.jit, static_argnames=("point_capacity",))
+def covisibility_row(
+    kp_point: jnp.ndarray, kf_valid: jnp.ndarray, kf_id, point_capacity: int
+) -> jnp.ndarray:
+    """(F,) shared-point counts between keyframe `kf_id` and every other
+    keyframe — the single covisibility row, without materializing the
+    (F, P) incidence matrix (used per-keyframe by loop detection)."""
+    F, K = kp_point.shape
+    ids = kp_point[kf_id]
+    present = jnp.zeros((point_capacity + 1,), jnp.float32).at[
+        jnp.where(ids >= 0, ids, point_capacity)
+    ].set(1.0, mode="drop")
+    other = jnp.where(kp_point >= 0, kp_point, point_capacity)
+    shared = jnp.sum(present[other], axis=1)  # (F,)
+    shared = shared * kf_valid
+    return shared.at[kf_id].set(0.0).astype(jnp.int32)
+
+
 @jax.jit
 def point_positions_valid(state: SlamState):
     return state.points.pos, state.points.valid

@@ -1,0 +1,148 @@
+"""Pose-graph optimization over keyframe poses.
+
+TPU-native equivalent of Optimizer::OptimizeEssentialGraph
+(perfect/src/Optimizer.cc:995-1308): after a loop closure, distribute
+the loop correction over the whole keyframe graph by minimizing
+relative-pose residuals on spanning-tree, covisibility and loop edges.
+The reference optimizes Sim3 vertices with g2o/LM; for RGB-D the scale
+is fixed (it sets scale=1 too), so this solves the SE(3) pose graph with
+batched Gauss-Newton: all edge residuals/Jacobians in one shot, a dense
+(6F, 6F) normal system (F <= max_keyframes; 512 keyframes -> a 3072^2
+solve, trivial for the MXU), gauge fixed at keyframe 0.
+
+Edges are padded fixed-capacity arrays (i, j, T_ji measurement, weight).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import OptimizerConfig
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+
+
+class PoseGraph(NamedTuple):
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    T_ji: jnp.ndarray  # (E, 4, 4) measured T_j_cw @ inv(T_i_cw)
+    weight: jnp.ndarray  # (E,) float32 (covis weight / loop boost)
+    valid: jnp.ndarray  # (E,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(
+    T_cw: jnp.ndarray,  # (F, 4, 4) initial keyframe poses
+    kf_valid: jnp.ndarray,  # (F,)
+    graph: PoseGraph,
+    fixed: jnp.ndarray | None = None,  # (F,) bool; default: kf 0
+    iters: int = 20,
+):
+    """Minimize sum_e w_e || log( T_ji_meas @ T_i @ inv(T_j) ) ||^2."""
+    F = T_cw.shape[0]
+    if fixed is None:
+        fixed = jnp.arange(F) == 0
+    free = (~fixed) & kf_valid
+
+    ei = jnp.clip(graph.edge_i, 0, F - 1)
+    ej = jnp.clip(graph.edge_j, 0, F - 1)
+    w = jnp.where(
+        graph.valid & kf_valid[ei] & kf_valid[ej], graph.weight, 0.0
+    )
+
+    def gn_step(T, _):
+        Ti = T[ei]
+        Tj = T[ej]
+        # Residual r_e = log( T_ji_meas @ T_i @ inv(T_j) )  (6,)
+        M = graph.T_ji @ Ti @ jax.vmap(se3.se3_inverse)(Tj)
+        r = jax.vmap(se3.se3_log)(M)  # (E, 6)
+
+        # Jacobians wrt left-mult perturbations of T_i and T_j, using the
+        # small-residual approximation J_i ~ Ad(T_ji_meas), J_j ~ -Ad(M)
+        # (standard pose-graph GN; exact at r=0).
+        def adjoint(T):
+            R = T[:3, :3]
+            t = T[:3, 3]
+            top = jnp.concatenate([R, se3.hat(t) @ R], axis=1)
+            bot = jnp.concatenate([jnp.zeros((3, 3)), R], axis=1)
+            return jnp.concatenate([top, bot], axis=0)  # (6, 6)
+
+        J_i = jax.vmap(adjoint)(graph.T_ji)  # (E, 6, 6)
+        J_j = -jax.vmap(adjoint)(M)
+
+        # Assemble the (F, 6) gradient and (F, F, 6, 6) Hessian blocks.
+        Wr = w[:, None] * r
+        g = jnp.zeros((F, 6), jnp.float32)
+        g = g.at[ei].add(jnp.einsum("eab,ea->eb", J_i, Wr))
+        g = g.at[ej].add(jnp.einsum("eab,ea->eb", J_j, Wr))
+
+        H = jnp.zeros((F, F, 6, 6), jnp.float32)
+        Hii = jnp.einsum("eab,e,eac->ebc", J_i, w, J_i)
+        Hjj = jnp.einsum("eab,e,eac->ebc", J_j, w, J_j)
+        Hij = jnp.einsum("eab,e,eac->ebc", J_i, w, J_j)
+        H = H.at[ei, ei].add(Hii)
+        H = H.at[ej, ej].add(Hjj)
+        H = H.at[ei, ej].add(Hij)
+        H = H.at[ej, ei].add(jnp.swapaxes(Hij, -1, -2))
+
+        free_f = free.astype(jnp.float32)
+        H = H * free_f[:, None, None, None] * free_f[None, :, None, None]
+        g = g * free_f[:, None]
+
+        Hm = H.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
+        diag_fix = jnp.repeat(~free, 6).astype(jnp.float32)
+        Hm = Hm + jnp.diag(diag_fix + 1e-5)
+        dx = jnp.linalg.solve(Hm, -g.reshape(-1)).reshape(F, 6)
+        dx = dx * free_f[:, None]
+        return jax.vmap(se3.se3_exp)(dx) @ T, None
+
+    T_out, _ = jax.lax.scan(gn_step, T_cw, None, length=iters)
+    return T_out
+
+
+def build_graph_arrays(covis, kf_valid, threshold: int, max_edges: int,
+                       T_cw, extra_edges=None):
+    """Host-side edge assembly from a covisibility matrix: spanning
+    chain (consecutive keyframes — the recency analogue of the
+    reference's spanning tree), strong covisibility edges
+    (weight >= 100 in the reference essential graph, Optimizer.cc:1100),
+    plus explicit loop edges. Returns a padded PoseGraph."""
+    import numpy as np
+
+    W = np.asarray(covis)
+    v = np.asarray(kf_valid)
+    T = np.asarray(T_cw)
+    F = len(v)
+    edges = []
+    for i in range(1, F):
+        if v[i] and v[i - 1]:
+            edges.append((i - 1, i, max(W[i - 1, i], 1.0)))
+    for i in range(F):
+        if not v[i]:
+            continue
+        for j in range(i + 2, F):
+            if v[j] and W[i, j] >= threshold:
+                edges.append((i, j, W[i, j]))
+    # Normal edges measure the CURRENT relative poses; loop edges carry
+    # their own externally-measured transform (the Sim3/rigid estimate),
+    # whose large residual the optimizer distributes over the graph.
+    edges = [(i, j, wt, T[j] @ np.linalg.inv(T[i])) for (i, j, wt) in edges]
+    if extra_edges:
+        edges.extend(extra_edges)  # entries: (i, j, weight, T_ji)
+    edges = edges[:max_edges]
+    E = max_edges
+    ei = np.zeros(E, np.int32)
+    ej = np.zeros(E, np.int32)
+    Tji = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+    wts = np.zeros(E, np.float32)
+    val = np.zeros(E, bool)
+    for k, (i, j, wt, Tm) in enumerate(edges):
+        ei[k], ej[k], wts[k], val[k] = i, j, wt, True
+        Tji[k] = np.asarray(Tm, np.float32)
+    return PoseGraph(
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Tji),
+        jnp.asarray(wts), jnp.asarray(val),
+    )

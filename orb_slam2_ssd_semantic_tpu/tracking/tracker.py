@@ -468,6 +468,13 @@ class Tracker:
         self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.initialized = False
         self.frame_id = 0
+        if cfg.loop.enabled or cfg.loop.enable_relocalization:
+            from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg)
+        else:
+            self.loop_closer = None
+        self.n_loops_closed = 0
         self.frames_since_kf = 0
         self.ref_kf_inliers = 0
         self.trajectory: list = []  # (stamp, ref_kf, T_rel np)
@@ -524,6 +531,8 @@ class Tracker:
             self.initialized = True
             self.status = "OK"
             self.ref_kf_inliers = int(jnp.sum(frame.is_stereo & frame.feats.valid))
+            if self.loop_closer is not None:
+                self.state, _ = self.loop_closer.on_keyframe(self.state, 0)
             self._on_keyframe_inserted()
             self._record(frame, T_cw, np.eye(4, dtype=np.float32), kp_point,
                          jnp.eye(4, dtype=jnp.float32), stamp, 0, 0)
@@ -577,9 +586,36 @@ class Tracker:
                 # Re-anchor on the BA-refined newest keyframe.
                 T_cw = self.state.kfs.T_cw[self._n_kfs]
                 T_np = np.asarray(T_cw)
+            # Loop closing (LoopClosing thread equivalent): BoW update +
+            # detection + pose-graph correction per new keyframe.
+            if self.loop_closer is not None and cfg.loop.enabled:
+                self.state, closed = self.loop_closer.on_keyframe(
+                    self.state, self._n_kfs  # id of the KF just inserted
+                )
+                if closed:
+                    self.n_loops_closed += 1
+                    T_cw = self.state.kfs.T_cw[self._n_kfs]
+                    T_np = np.asarray(T_cw)
             self._on_keyframe_inserted()
         else:
             self.frames_since_kf += 1
+            if (
+                self.status == "LOST"
+                and cfg.loop.enable_relocalization
+                and self.loop_closer is not None
+                and self._n_kfs >= 1
+            ):
+                from orb_slam2_ssd_semantic_tpu.tracking.reloc import relocalize
+
+                ok_reloc, T_reloc, n_reloc = relocalize(
+                    self.state, frame, self.loop_closer.bow_db, cfg
+                )
+                if ok_reloc:
+                    self.status = "OK"
+                    T_cw = T_reloc
+                    T_np = np.asarray(T_reloc)
+                    velocity = jnp.eye(4, dtype=jnp.float32)
+                    n_inl = n_reloc
 
         self._record(frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inl)
         return T_np

@@ -1,0 +1,119 @@
+"""Place recognition, pose-graph optimization, 3D RANSAC, relocalization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.geometry.ransac3d import ransac_rigid
+from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+from orb_slam2_ssd_semantic_tpu.mapping import place_recognition as pr
+from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
+    PoseGraph,
+    build_graph_arrays,
+    optimize_pose_graph,
+)
+from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+
+def test_bow_vector_properties(rng):
+    desc = jnp.asarray(rng.integers(0, 2**32, (512, 8), dtype=np.uint32))
+    valid = jnp.ones(512, bool)
+    v = pr.bow_vector(desc, valid)
+    assert abs(float(jnp.linalg.norm(v)) - 1.0) < 1e-5
+    # Same descriptors -> identical vector; disjoint random -> lower score.
+    v2 = pr.bow_vector(desc, valid)
+    assert float(v @ v2) > 0.9999
+    other = jnp.asarray(rng.integers(0, 2**32, (512, 8), dtype=np.uint32))
+    v3 = pr.bow_vector(other, valid)
+    assert float(v @ v3) < 0.98
+
+
+def test_bow_same_scene_scores_higher(rng):
+    """Vectors from overlapping keypoint sets score above disjoint ones."""
+    base = rng.integers(0, 2**32, (600, 8), dtype=np.uint32)
+    a = jnp.asarray(base[:512])
+    b = jnp.asarray(np.concatenate([base[:400], base[500:600], base[:12]]))  # 512, ~80% shared
+    c = jnp.asarray(rng.integers(0, 2**32, (512, 8), dtype=np.uint32))
+    valid = jnp.ones(512, bool)
+    va, vb, vc = (pr.bow_vector(x, valid) for x in (a, b, c))
+    assert float(va @ vb) > float(va @ vc)
+
+
+def test_ransac_rigid_with_outliers(rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.2, -0.1, 0.3], dtype=jnp.float32)))
+    t_true = np.array([0.5, 1.0, -0.3], np.float32)
+    dst = pts @ R_true.T + t_true
+    dst[:90] += rng.uniform(0.5, 2.0, (90, 3)).astype(np.float32)  # 30% outliers
+    s, R, t, inl, n = ransac_rigid(
+        jnp.asarray(pts), jnp.asarray(dst), jnp.ones(300, bool),
+        jax.random.PRNGKey(0), threshold=0.05,
+    )
+    assert int(n) >= 200
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=5e-3)
+
+
+def test_pose_graph_distributes_loop_correction():
+    """A drifted chain with a perfect loop edge back to the start should
+    spread the correction across the chain."""
+    F = 12
+    # GT: poses along a circle (loop). Drift: each relative motion has a
+    # small consistent error that accumulates.
+    T_gt, T_drift = [np.eye(4, dtype=np.float32)], [np.eye(4, dtype=np.float32)]
+    rel_gt = np.asarray(se3.se3_exp(jnp.asarray([0.5, 0, 0, 0, 2 * np.pi / F, 0], dtype=jnp.float32)))
+    rel_bad = np.asarray(se3.se3_exp(jnp.asarray([0.5, 0.02, 0.01, 0, 2 * np.pi / F + 0.01, 0], dtype=jnp.float32)))
+    for i in range(1, F):
+        T_gt.append(rel_gt @ T_gt[-1])
+        T_drift.append(rel_bad @ T_drift[-1])
+    T_gt, T_drift = np.stack(T_gt), np.stack(T_drift)
+
+    # Edges: chain with drifted measurements + loop edge with TRUE rel.
+    edges = []
+    for i in range(1, F):
+        edges.append((i - 1, i, 1.0, T_drift[i] @ np.linalg.inv(T_drift[i - 1])))
+    loop_T = T_gt[F - 1] @ np.linalg.inv(T_gt[0])
+    edges.append((0, F - 1, 100.0, loop_T))
+
+    E = len(edges)
+    graph = PoseGraph(
+        edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        T_ji=jnp.asarray(np.stack([e[3] for e in edges])),
+        weight=jnp.asarray([e[2] for e in edges], jnp.float32),
+        valid=jnp.ones(E, bool),
+    )
+    T_opt = np.asarray(
+        optimize_pose_graph(jnp.asarray(T_drift), jnp.ones(F, bool), graph)
+    )
+    err_before = np.linalg.norm(T_drift[F - 1][:3, 3] - T_gt[F - 1][:3, 3])
+    err_after = np.linalg.norm(T_opt[F - 1][:3, 3] - T_gt[F - 1][:3, 3])
+    assert err_after < 0.35 * err_before
+    # Gauge kept.
+    np.testing.assert_allclose(T_opt[0], T_drift[0], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_relocalization_recovers_pose():
+    cfg = SlamConfig()
+    seq = SyntheticSequence(n_frames=10)
+    tr = tk.Tracker(cfg)
+    for i in range(10):
+        g, d = seq.gray_depth(i)
+        tr.process(g, d, float(seq.stamps[i]))
+    assert tr._n_kfs >= 1
+
+    from orb_slam2_ssd_semantic_tpu.tracking.reloc import relocalize
+
+    # Relocalize frame 5 from scratch (no motion prior).
+    g, d = seq.gray_depth(5)
+    frame = tk.build_frame(jnp.asarray(g), jnp.asarray(d), cfg)
+    ok, T, n = relocalize(tr.state, frame, tr.loop_closer.bow_db, cfg)
+    assert ok and n >= cfg.tracking.min_inliers_reloc
+    # Compare against the tracked pose of frame 5.
+    T_ref = tr.absolute_poses()[5][1]
+    err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_ref)) @ T))
+    assert np.linalg.norm(err[:3]) < 0.05
