@@ -153,6 +153,22 @@ class TumSequence:
         return float(self.stamps[i]), rgb, depth
 
 
+def associate_main(argv=None):
+    """CLI twin of `python associate.py rgb.txt depth.txt` (tool/associate.py)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="associate two TUM timestamp files")
+    p.add_argument("first_file")
+    p.add_argument("second_file")
+    p.add_argument("--offset", type=float, default=0.0)
+    p.add_argument("--max_difference", type=float, default=0.02)
+    args = p.parse_args(argv)
+    sa, na = read_file_list(args.first_file)
+    sb, nb = read_file_list(args.second_file)
+    for a, b in associate(sa, sb, args.offset, args.max_difference):
+        print(f"{sa[a]:f} {na[a]} {sb[b] - args.offset:f} {nb[b]}")
+
+
 def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     """ITU-R BT.601 luma, matching cv::cvtColor(COLOR_RGB2GRAY) as used in
     Tracking::GrabImageRGBD (Tracking.cc:655-668). Returns float32 [0,255]."""
