@@ -111,7 +111,44 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
     pts = pts._replace(n_obs=jnp.maximum(n_obs, 0))
 
     state = state._replace(points=pts, kfs=kfs)
-    return cull_points(state, cfg)
+    state = cull_points(state, cfg)
+    return cull_keyframes(state, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """KeyFrameCulling (LocalMapping.cc:764-860): a keyframe is redundant
+    when >= 90% of its tracked map points are observed by at least 3
+    other keyframes. Applied to the recent window excluding the newest
+    two (the reference culls local covisible keyframes of the new KF)."""
+    kfs = state.kfs
+    P = state.points.pos.shape[0]
+    ids = jnp.where(kfs.kp_point >= 0, kfs.kp_point, P)
+    obs = state.points.n_obs
+    obs_of = jnp.where(ids < P, obs[jnp.clip(ids, 0, P - 1)], 0)  # (F, K)
+    tracked = (kfs.kp_point >= 0) & kfs.kp_valid
+    redundant_obs = tracked & (obs_of >= cfg.map.min_observations + 1)
+    n_tracked = jnp.sum(tracked.astype(jnp.float32), axis=1)
+    ratio = jnp.sum(redundant_obs.astype(jnp.float32), axis=1) / jnp.maximum(
+        n_tracked, 1.0
+    )
+    kf_idx = jnp.arange(kfs.valid.shape[0])
+    in_window = (kf_idx >= state.n_kfs - cfg.map.local_ba_window) & (
+        kf_idx < state.n_kfs - 2
+    ) & (kf_idx > 0)
+    cull = kfs.valid & in_window & (ratio > cfg.map.kf_redundancy_ratio) & (
+        n_tracked > 10
+    )
+    # Decrement observation counts of the culled keyframes' points and
+    # clear their associations.
+    culled_ids = jnp.where(cull[:, None] & tracked, kfs.kp_point, P)
+    n_obs = state.points.n_obs.at[culled_ids.reshape(-1)].add(-1, mode="drop")
+    pts = state.points._replace(n_obs=jnp.maximum(n_obs, 0))
+    kfs = kfs._replace(
+        valid=kfs.valid & ~cull,
+        kp_point=jnp.where(cull[:, None], -1, kfs.kp_point),
+    )
+    return state._replace(points=pts, kfs=kfs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

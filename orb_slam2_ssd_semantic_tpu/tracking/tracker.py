@@ -485,6 +485,7 @@ class Tracker:
         self._n_kfs = 0
         self._n_points = 0
         self._ref_kf_pose_np = np.eye(4, dtype=np.float32)
+        self._lost_streak = 0
 
     def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
         """Track one RGB-D frame; returns T_cw (4,4) numpy.
@@ -616,6 +617,20 @@ class Tracker:
                     T_np = np.asarray(T_reloc)
                     velocity = jnp.eye(4, dtype=jnp.float32)
                     n_inl = n_reloc
+
+        # Auto-reset: lost early with a tiny map means the map itself is
+        # garbage (Tracking.cc:1153-1161 / System::Reset): rebuild from
+        # scratch rather than relocalizing into a broken map.
+        self._lost_streak = self._lost_streak + 1 if self.status == "LOST" else 0
+        if (
+            self._lost_streak >= 10
+            and self._n_kfs <= cfg.tracking.reset_if_lost_with_kfs
+        ):
+            self.state = empty_state(cfg)
+            self.initialized = False
+            self._lost_streak = 0
+            self._n_kfs = 0
+            self._n_points = 0
 
         self._record(frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inl)
         return T_np

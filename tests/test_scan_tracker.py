@@ -1,0 +1,29 @@
+"""Whole-sequence scan tracker: parity with the interactive tracker."""
+
+import numpy as np
+import pytest
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+from orb_slam2_ssd_semantic_tpu.tracking.scan_tracker import track_sequence
+
+
+@pytest.mark.slow
+def test_scan_tracker_end_to_end():
+    cfg = SlamConfig()
+    seq = SyntheticSequence(n_frames=24)
+    grays, depths = [], []
+    for i in range(len(seq)):
+        g, d = seq.gray_depth(i)
+        grays.append(np.clip(g, 0, 255).astype(np.uint8))
+        depths.append((d * 1000).astype(np.uint16))
+    poses, state, stats = track_sequence(np.stack(grays), np.stack(depths), cfg)
+    assert poses.shape == (24, 4, 4)
+    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses])
+    res = evaluate_ate_xyz(est, seq.gt_positions())
+    assert res.rmse < 0.01, res
+    # All tracked frames OK; keyframes created; map populated.
+    assert (stats[:, 0] == 0).all()
+    assert stats[-1, 2] >= 2
+    assert int(state.n_points) > 900
