@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3
 
 
 class BAProblem(NamedTuple):
@@ -157,7 +158,7 @@ def local_bundle_adjust(
         # Damped point-block inverse.
         lam = jnp.float32(cfg.lm_lambda_init)
         Hpp = Hpp + (lam + 1e-6) * jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = inv3x3(Hpp)
 
         # Reduced camera system.
         S = -jnp.einsum("wnab,nbc,vndc->wvad", Hcp, Hpp_inv, Hcp)

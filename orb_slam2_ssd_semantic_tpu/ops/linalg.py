@@ -1,0 +1,74 @@
+"""Small fixed-size linear algebra as unrolled elementwise graphs.
+
+XLA's generic LU/triangular-solve paths are catastrophically slow for
+tiny systems on TPU (a 6x6 jnp.linalg.solve costs ~hundreds of
+microseconds of sequential kernel launches; the pose optimizer runs 40
+of them per frame). For static sizes the Cholesky factorization unrolls
+into a few dozen scalar fused ops — effectively free. These helpers are
+used by the GN/LM solvers (pose_opt, ba, dist_ba).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def cholesky_solve_small(H: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Solve H x = b for SPD H of small static size n (fully unrolled).
+
+    H: (..., n, n), b: (..., n). Returns (..., n)."""
+    n = H.shape[-1]
+    # Unrolled Cholesky H = L L^T.
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, eps))
+            else:
+                L[i][j] = s / L[j][j]
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse via the adjugate (avoids XLA's
+    generic batched-LU path for (N, 3, 3) stacks)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = c * h - b * i
+    co_c = b * f - c * e
+    co_d = f * g - d * i
+    co_e = a * i - c * g
+    co_f = c * d - a * f
+    co_g = d * h - e * g
+    co_h = b * g - a * h
+    co_i = a * e - b * d
+    det = a * co_a + b * co_d + c * co_g
+    det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    inv = jnp.stack(
+        [
+            jnp.stack([co_a, co_b, co_c], axis=-1),
+            jnp.stack([co_d, co_e, co_f], axis=-1),
+            jnp.stack([co_g, co_h, co_i], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / det[..., None, None]

@@ -26,6 +26,7 @@ from jax.experimental.shard_map import shard_map
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.ops.linalg import cholesky_solve_small
 from orb_slam2_ssd_semantic_tpu.parallel.mesh import PT_AXIS
 from orb_slam2_ssd_semantic_tpu.tracking.pose_opt import _residual_jacobian
 
@@ -59,7 +60,7 @@ def make_distributed_pose_step(mesh, cam: CameraConfig):
         H = jax.lax.psum(H, PT_AXIS)
         b = jax.lax.psum(b, PT_AXIS)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        dx = jnp.linalg.solve(H, b)
+        dx = cholesky_solve_small(H, b)
         return se3.se3_exp(dx) @ T_cw
 
     return jax.jit(step)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.ops.linalg import cholesky_solve_small
 
 
 class PoseOptResult(NamedTuple):
@@ -115,7 +116,7 @@ def pose_optimize(
             H = jnp.einsum("nki,nk,nkj->ij", J, wc, J)
             b = -jnp.einsum("nki,nk->i", J, wc * e)
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-            dx = jnp.linalg.solve(H, b)
+            dx = cholesky_solve_small(H, b)
             T_new = se3.se3_exp(dx) @ T
             return (T_new, lam)
 
