@@ -84,7 +84,45 @@ def find_fundamental_ransac(uv1, uv2, valid, key, threshold: float = 1.5,
     inl = (d1 < threshold) & (d2 < threshold) & valid[None]
     counts = inl.sum(-1)
     best = jnp.argmax(counts)
-    return Fs[best], inl[best], counts[best]
+    # Least-squares refit over all inliers of the winning hypothesis
+    # (the reference refines by re-solving on the RANSAC consensus set).
+    F_refit = _solve_fundamental_weighted(uv1, uv2, inl[best].astype(uv1.dtype))
+    l2 = jnp.einsum("ij,nj->ni", F_refit, x1h)
+    d2 = jnp.abs(jnp.sum(l2 * x2h, -1)) / (jnp.linalg.norm(l2[..., :2], axis=-1) + 1e-9)
+    l1 = jnp.einsum("ji,nj->ni", F_refit, x2h)
+    d1 = jnp.abs(jnp.sum(l1 * x1h, -1)) / (jnp.linalg.norm(l1[..., :2], axis=-1) + 1e-9)
+    inl_refit = (d1 < threshold) & (d2 < threshold) & valid
+    n_refit = inl_refit.sum()
+    use = n_refit >= counts[best]
+    F_out = jnp.where(use, F_refit, Fs[best])
+    inl_out = jnp.where(use, inl_refit, inl[best])
+    return F_out, inl_out, jnp.maximum(n_refit, counts[best])
+
+
+def _solve_fundamental_weighted(uv1, uv2, w):
+    """Weighted 8-point DLT over all correspondences (w in {0,1} mask)."""
+    wsum = jnp.maximum(w.sum(), 1.0)
+    m1 = (uv1 * w[:, None]).sum(0) / wsum
+    m2 = (uv2 * w[:, None]).sum(0) / wsum
+    s1 = jnp.sqrt(2.0) / ((jnp.linalg.norm(uv1 - m1, axis=-1) * w).sum() / wsum + 1e-9)
+    s2 = jnp.sqrt(2.0) / ((jnp.linalg.norm(uv2 - m2, axis=-1) * w).sum() / wsum + 1e-9)
+    n1 = (uv1 - m1) * s1
+    n2 = (uv2 - m2) * s2
+    A = jnp.stack(
+        [n2[:, 0] * n1[:, 0], n2[:, 0] * n1[:, 1], n2[:, 0],
+         n2[:, 1] * n1[:, 0], n2[:, 1] * n1[:, 1], n2[:, 1],
+         n1[:, 0], n1[:, 1], jnp.ones_like(n1[:, 0])], axis=-1)
+    A = A * w[:, None]
+    M = (A.T @ A).astype(jnp.float64) if jax.config.jax_enable_x64 else A.T @ A
+    _, vecs = jnp.linalg.eigh(M)
+    Fm = vecs[:, 0].reshape(3, 3).astype(uv1.dtype)
+    U, S, Vt = jnp.linalg.svd(Fm)
+    Fm = U @ jnp.diag(S.at[2].set(0.0)) @ Vt
+    T1 = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], uv1.dtype)
+    T1 = T1.at[0, 0].set(s1).at[1, 1].set(s1).at[0, 2].set(-s1 * m1[0]).at[1, 2].set(-s1 * m1[1])
+    T2 = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], uv1.dtype)
+    T2 = T2.at[0, 0].set(s2).at[1, 1].set(s2).at[0, 2].set(-s2 * m2[0]).at[1, 2].set(-s2 * m2[1])
+    return T2.T @ Fm @ T1
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))

@@ -61,8 +61,7 @@ class SlamSystem:
 
         gray = rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
         was_kf_count = self.tracker._n_kfs
-        if self.localization_only:
-            self.tracker.frames_since_kf = -(10**9)  # suppress KF insertion
+        self.tracker.allow_new_keyframes = not self.localization_only
         T_cw = self.tracker.process(gray, depth, stamp)
 
         new_kf = self.tracker._n_kfs > was_kf_count

@@ -477,6 +477,10 @@ class Tracker:
         self.n_loops_closed = 0
         self.frames_since_kf = 0
         self.ref_kf_inliers = 0
+        # Host-side hard gate on keyframe creation; cleared by
+        # localization-only mode (Tracking::InformOnlyTracking,
+        # Tracking.cc:3155 — mapping frozen, tracking continues).
+        self.allow_new_keyframes = True
         self.trajectory: list = []  # (stamp, ref_kf, T_rel np)
         self.stats: list = []
         self.status = "INIT"
@@ -560,7 +564,7 @@ class Tracker:
         n_inl, n_matches = int(p[18]), int(p[19])
         self.status = ("OK", "WEAK", "LOST")[status_code]
 
-        if need_kf:
+        if need_kf and self.allow_new_keyframes:
             self.state, kp_point = insert_keyframe(
                 self.state, frame, T_cw, kp_point, self.frame_id, stamp, cfg
             )
