@@ -206,6 +206,10 @@ class MapConfig:
     kf_redundancy_ratio: float = 0.9
     # Observations needed before a point is safe from culling.
     min_observations: int = 3
+    # Triangulate far/unassociated landmarks between the new KF and its
+    # covisible neighbors (LocalMapping::CreateNewMapPoints; required
+    # for monocular, extends RGB-D beyond the depth range).
+    triangulate_new_points: bool = True
 
 
 @dataclass(frozen=True)

@@ -20,7 +20,14 @@ from orb_slam2_ssd_semantic_tpu.config import OrbConfig
 from orb_slam2_ssd_semantic_tpu.ops import fast as fast_ops
 from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
 from orb_slam2_ssd_semantic_tpu.ops import select as select_ops
-from orb_slam2_ssd_semantic_tpu.ops.orb_descriptor import ic_angle, steered_brief
+from orb_slam2_ssd_semantic_tpu.ops.orb_descriptor import (
+    BLUR_PAD,
+    HALF_PATCH,
+    binned_brief,
+    blur_patches,
+    extract_patches,
+    ic_angle_from_patches,
+)
 
 
 class Features(NamedTuple):
@@ -82,9 +89,18 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
             border=cfg.edge_threshold,
         )
         uv = select_ops.subpixel_refine(score_raw, uv, valid)
-        ang = ic_angle(lv_img, uv, valid)
-        blurred = image_ops.gaussian_blur(lv_img, 7, 2.0)
-        desc = steered_brief(blurred, uv, ang, valid)
+        # Dense MXU formulations of orientation + descriptors (see
+        # ops/orb_descriptor.py "Fast TPU path"): ONE padded per-keypoint
+        # patch extraction via one-hot selector matmuls; the IC angle is
+        # a patch moment matmul on the raw center; the BRIEF pre-blur
+        # (ORBextractor.cc:1105) runs inside the padded patch; steered
+        # BRIEF is one one-hot sampling matmul over 32 quantized
+        # orientations.
+        patches_raw = extract_patches(lv_img, uv, half=HALF_PATCH + BLUR_PAD)
+        ang = ic_angle_from_patches(
+            patches_raw[:, BLUR_PAD:-BLUR_PAD, BLUR_PAD:-BLUR_PAD], valid
+        )
+        desc = binned_brief(blur_patches(patches_raw), ang, valid)
         # Exact level->base coordinate mapping. Bilinear resize uses the
         # half-pixel-centers convention: level pixel p sits at base
         # coordinate (p + 0.5) * (base/level) - 0.5, NOT p * scale. The

@@ -25,13 +25,106 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
+from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.mapping.ba import BAProblem, local_bundle_adjust
-from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, covisibility_row
+from orb_slam2_ssd_semantic_tpu.mapping.triangulation import triangulate_pair
+
+N_TRIANGULATION_NEIGHBORS = 2  # covis neighbors per new KF (reference: 10 best)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """Triangulate landmarks between the newest keyframe and its best
+    covisible neighbors (LocalMapping::CreateNewMapPoints,
+    LocalMapping.cc:349-649). Only keypoints with no association spawn —
+    close-depth ones already spawned at insertion; this is how landmarks
+    beyond the RGB-D depth range (and all monocular landmarks) enter the
+    map. Neighbors with a baseline shorter than the (virtual) stereo
+    baseline are skipped (LocalMapping.cc:399-421)."""
+    F = state.kfs.valid.shape[0]
+    P = state.points.pos.shape[0]
+    sf = scale_factors(cfg.orb)
+    kf1 = jnp.maximum(state.n_kfs - 1, 0)
+
+    covis = covisibility_row(state.kfs.kp_point, state.kfs.valid.astype(jnp.float32),
+                             kf1, P).astype(jnp.float32)
+    _, neighbors = jax.lax.top_k(covis, N_TRIANGULATION_NEIGHBORS)
+
+    uv1 = state.kfs.uv[kf1]
+    desc1 = state.kfs.desc[kf1]
+    level1 = state.kfs.level[kf1]
+    T1 = state.kfs.T_cw[kf1]
+    c1 = se3.se3_inverse(T1)[:3, 3]
+    baseline_min = cfg.camera.depth_bf / cfg.camera.fx  # stereo baseline (m)
+
+    for n in range(N_TRIANGULATION_NEIGHBORS):
+        kf2 = neighbors[n]
+        ok_pair = (covis[kf2] > 0) & state.kfs.valid[kf2] & (kf2 != kf1)
+        T2 = state.kfs.T_cw[kf2]
+        c2 = se3.se3_inverse(T2)[:3, 3]
+        ok_pair = ok_pair & (jnp.linalg.norm(c1 - c2) > baseline_min)
+
+        valid1 = state.kfs.kp_valid[kf1] & (state.kfs.kp_point[kf1] < 0)
+        valid2 = state.kfs.kp_valid[kf2] & (state.kfs.kp_point[kf2] < 0)
+        tri = triangulate_pair(
+            uv1, desc1, level1, valid1 & ok_pair,
+            state.kfs.uv[kf2], state.kfs.desc[kf2], state.kfs.level[kf2],
+            valid2 & ok_pair,
+            T1, T2, cfg.camera, cfg.orb,
+        )
+        ok = tri.valid & ok_pair
+
+        # Allocate map-point slots for the survivors.
+        rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        slot = state.n_points + rank
+        ok = ok & (slot < P)
+        slot_safe = jnp.where(ok, slot, P)
+
+        X = tri.pts_w
+        dist = jnp.linalg.norm(X - c1[None], axis=-1)
+        lv = jnp.clip(level1, 0, cfg.orb.n_levels - 1)
+        max_dist = dist * sf[lv]
+        min_dist = max_dist / sf[-1]
+        normal = (X - c1[None]) / jnp.maximum(dist, 1e-6)[:, None]
+
+        pts = state.points
+        pts = pts._replace(
+            pos=pts.pos.at[slot_safe].set(X, mode="drop"),
+            desc=pts.desc.at[slot_safe].set(desc1, mode="drop"),
+            normal=pts.normal.at[slot_safe].set(normal, mode="drop"),
+            min_dist=pts.min_dist.at[slot_safe].set(min_dist, mode="drop"),
+            max_dist=pts.max_dist.at[slot_safe].set(max_dist, mode="drop"),
+            n_obs=pts.n_obs.at[slot_safe].set(2, mode="drop"),
+            n_visible=pts.n_visible.at[slot_safe].set(2, mode="drop"),
+            n_found=pts.n_found.at[slot_safe].set(2, mode="drop"),
+            ref_kf=pts.ref_kf.at[slot_safe].set(kf1, mode="drop"),
+            valid=pts.valid.at[slot_safe].set(True, mode="drop"),
+        )
+
+        # Bind both observations.
+        kfs = state.kfs
+        kp1 = jnp.where(ok, slot, kfs.kp_point[kf1])
+        kfs = kfs._replace(kp_point=kfs.kp_point.at[kf1].set(kp1))
+        K2 = kfs.kp_point.shape[1]
+        j2 = jnp.where(ok, tri.idx2, K2)
+        kp2 = kfs.kp_point[kf2].at[j2].set(jnp.where(ok, slot, -1), mode="drop")
+        kfs = kfs._replace(kp_point=kfs.kp_point.at[kf2].set(kp2))
+
+        state = state._replace(
+            points=pts, kfs=kfs,
+            n_points=state.n_points + jnp.sum(ok.astype(jnp.int32)),
+        )
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
-    """Run one local-BA + culling pass anchored at the newest keyframe."""
+    """Run one triangulate + local-BA + culling pass anchored at the
+    newest keyframe (the LocalMapping thread's per-KF sequence,
+    LocalMapping.cc:89-125)."""
+    if cfg.map.triangulate_new_points:
+        state = create_new_map_points(state, cfg)
     W = cfg.map.local_ba_window
     N = cfg.map.local_ba_max_points
     P = state.points.pos.shape[0]

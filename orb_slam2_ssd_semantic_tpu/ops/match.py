@@ -164,10 +164,31 @@ def match_by_window(
     """Projection-style guided search: for each query descriptor with a
     predicted pixel location `centers[q]`, find the best target keypoint
     within the window (equivalent of SearchByProjection for the
-    last-frame/motion-model case, ORBmatcher.cc:1578-1725)."""
-    dist = hamming_matrix(desc_q, desc_t)
-    mask = window_mask(centers, uv_t, radius, valid_q, valid_t)
-    m = masked_best_match(dist, mask, max_dist=max_dist, mutual=mutual)
+    last-frame/motion-model case, ORBmatcher.cc:1578-1725).
+
+    On TPU the distance+mask+top-2 core runs as one fused Pallas kernel
+    (ops/pallas_match.py) — no (Q, T) intermediates touch HBM."""
+    from orb_slam2_ssd_semantic_tpu.ops import pallas_match
+
+    if (
+        not mutual
+        and pallas_match.use_pallas()
+        and desc_q.shape[0] % 256 == 0
+        and desc_t.shape[0] % 128 == 0
+    ):
+        best, _, best_idx = pallas_match.fused_window_match(
+            desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t
+        )
+        ok = best <= max_dist
+        m = MatchResult(
+            idx=jnp.where(ok, best_idx, -1),
+            dist=jnp.where(ok, best, BIG),
+            valid=ok,
+        )
+    else:
+        dist = hamming_matrix(desc_q, desc_t)
+        mask = window_mask(centers, uv_t, radius, valid_q, valid_t)
+        m = masked_best_match(dist, mask, max_dist=max_dist, mutual=mutual)
     if angle_q is not None and angle_t is not None:
         keep = rotation_consistency_mask(angle_q, angle_t, m)
         m = MatchResult(

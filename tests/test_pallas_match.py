@@ -1,0 +1,47 @@
+"""Pallas fused window matcher vs the XLA reference formulation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+from orb_slam2_ssd_semantic_tpu.ops.pallas_match import BIG, fused_window_match
+
+
+def _random_problem(rng, q=256, t=128):
+    desc_q = jnp.asarray(rng.integers(0, 2**32, (q, 8), dtype=np.uint32))
+    desc_t = jnp.asarray(rng.integers(0, 2**32, (t, 8), dtype=np.uint32))
+    centers = jnp.asarray(rng.uniform(0, 640, (q, 2)).astype(np.float32))
+    uv_t = jnp.asarray(rng.uniform(0, 640, (t, 2)).astype(np.float32))
+    radius = jnp.asarray(rng.uniform(20, 120, (q,)).astype(np.float32))
+    valid_q = jnp.asarray(rng.random(q) > 0.2)
+    valid_t = jnp.asarray(rng.random(t) > 0.2)
+    return desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t
+
+
+def test_fused_window_match_parity(rng):
+    desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t = _random_problem(rng)
+    best, sec, idx = fused_window_match(
+        desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t, interpret=True
+    )
+    dist = match_ops.hamming_matrix(desc_q, desc_t)
+    mask = match_ops.window_mask(centers, uv_t, radius, valid_q, valid_t)
+    d = jnp.where(mask, dist, BIG)
+    ref_best = jnp.min(d, axis=1)
+    ref_idx = jnp.argmin(d, axis=1)
+    cols = jnp.arange(d.shape[1])[None, :]
+    ref_sec = jnp.min(jnp.where(cols == ref_idx[:, None], BIG, d), axis=1)
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(ref_best))
+    np.testing.assert_array_equal(np.asarray(sec), np.asarray(ref_sec))
+    # Index parity matters only where some pair was in-window.
+    has = np.asarray(ref_best) < BIG
+    np.testing.assert_array_equal(np.asarray(idx)[has], np.asarray(ref_idx)[has])
+
+
+def test_fused_window_match_all_masked(rng):
+    desc_q, desc_t, centers, uv_t, radius, _, valid_t = _random_problem(rng)
+    valid_q = jnp.zeros((desc_q.shape[0],), bool)
+    best, sec, idx = fused_window_match(
+        desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t, interpret=True
+    )
+    assert (np.asarray(best) == BIG).all()
+    assert (np.asarray(sec) == BIG).all()
