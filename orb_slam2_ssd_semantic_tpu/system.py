@@ -69,6 +69,131 @@ class SlamSystem:
             self._on_new_keyframe(rgb, depth, T_cw)
         return T_cw
 
+    def track_stereo(self, left: np.ndarray, right: np.ndarray, stamp: float) -> np.ndarray:
+        """TrackStereo equivalent (System.cc TrackStereo; the reference
+        runs L/R ORB extraction in two std::threads and row-band stereo
+        matching in the Frame ctor, Frame.cc:196-197 + ComputeStereoMatches).
+
+        Here: batched extraction over both rectified images, one masked
+        row-band Hamming match (ops/stereo.py), and the per-keypoint
+        depths are scattered into a sparse depth image consumed by the
+        RGB-D path — stereo and RGB-D share every downstream stage."""
+        import jax
+        import jax.numpy as jnp
+
+        from orb_slam2_ssd_semantic_tpu.frontend.extractor import extract
+        from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
+        from orb_slam2_ssd_semantic_tpu.io.tum import rgb_to_gray
+        from orb_slam2_ssd_semantic_tpu.ops.stereo import stereo_match
+
+        gl = rgb_to_gray(left) if left.ndim == 3 else left
+        gr = rgb_to_gray(right) if right.ndim == 3 else right
+        cam, orb = self.cfg.camera, self.cfg.orb
+
+        @jax.jit
+        def depth_image(gl, gr):
+            fl = extract(gl.astype(jnp.float32), orb)
+            fr = extract(gr.astype(jnp.float32), orb)
+            depth, _, ok = stereo_match(fl, fr, cam, orb)
+            # Scatter depths at the (undistorted) keypoint pixels; the
+            # RGB-D frame builder nearest-samples the same pixels.
+            uv = cam_ops.undistort_points(fl.uv, cam)
+            x = jnp.round(uv[:, 0]).astype(jnp.int32)
+            y = jnp.round(uv[:, 1]).astype(jnp.int32)
+            oob = ~(ok & (x >= 0) & (x < cam.width) & (y >= 0) & (y < cam.height))
+            flat = jnp.where(oob, cam.width * cam.height, y * cam.width + x)
+            img = jnp.zeros((cam.height * cam.width,), jnp.float32)
+            img = img.at[flat].set(jnp.where(ok, depth, 0.0), mode="drop")
+            return img.reshape(cam.height, cam.width)
+
+        d = np.asarray(depth_image(jnp.asarray(gl), jnp.asarray(gr)))
+        return self.track_rgbd(gl, d, stamp)
+
+    def track_monocular(self, rgb: np.ndarray, stamp: float) -> np.ndarray:
+        """TrackMonocular equivalent (System.cc TrackMonocular).
+
+        Before initialization: hold frames and run the two-view
+        initializer (mapping/initializer.py ≙ Initializer.cc) on a wide
+        window match; on success the triangulated structure seeds the map
+        (scaled so median depth = 1, as CreateInitialMapMonocular does)
+        by synthesizing per-keypoint depths for the two seed keyframes.
+        Afterwards the regular tracking path runs with depth-less frames:
+        observations are monocular in the pose optimizer and new
+        landmarks enter only via local-mapping triangulation."""
+        import jax
+        import jax.numpy as jnp
+
+        from orb_slam2_ssd_semantic_tpu.io.tum import rgb_to_gray
+
+        gray = rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
+        if self.tracker.initialized:
+            zero_depth = np.zeros(gray.shape, np.float32)
+            return self.track_rgbd(gray, zero_depth, stamp)
+        return self._mono_initialize(gray, stamp)
+
+    def _mono_initialize(self, gray: np.ndarray, stamp: float) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from orb_slam2_ssd_semantic_tpu.frontend.extractor import extract
+        from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
+        from orb_slam2_ssd_semantic_tpu.mapping.initializer import initialize_monocular
+        from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+
+        cam, orb = self.cfg.camera, self.cfg.orb
+        feats = extract(jnp.asarray(gray, jnp.float32), orb)
+        if getattr(self, "_mono_seed", None) is None:
+            self._mono_seed = (gray, stamp, feats)
+            return np.eye(4, dtype=np.float32)
+
+        g0, t0, f0 = self._mono_seed
+        # Wide-window 2D-2D match (SearchForInitialization radius 100).
+        m = match_ops.match_by_window(
+            f0.desc, feats.desc, f0.uv, feats.uv, f0.valid, feats.valid,
+            radius=100.0, angle_q=f0.angle, angle_t=feats.angle,
+            max_dist=match_ops.TH_LOW,
+        )
+        tgt = jnp.clip(m.idx, 0, feats.uv.shape[0] - 1)
+        out = initialize_monocular(
+            f0.uv, feats.uv[tgt], m.valid, cam, jax.random.PRNGKey(0)
+        )
+        if not out["success"]:
+            # Keep the newest frame as the seed (reference resets the
+            # initializer when matching fails, Tracking.cc monocular init).
+            self._mono_seed = (gray, stamp, feats)
+            return np.eye(4, dtype=np.float32)
+
+        # Scale so median triangulated depth = 1 (CreateInitialMapMonocular).
+        X = np.asarray(out["pts3d"])
+        good = np.asarray(out["good"])
+        med = float(np.median(X[good][:, 2])) if good.any() else 1.0
+        X = X / max(med, 1e-6)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = np.asarray(out["R"])
+        T1[:3, 3] = np.asarray(out["t"]) / max(med, 1e-6)
+
+        # Seed the two keyframes through the RGB-D path by synthesizing
+        # sparse depth images from the triangulated structure.
+        d0 = self._sparse_depth(np.asarray(f0.uv), X[:, 2], good, cam)
+        self.track_rgbd(g0, d0, t0)
+        z1 = (X @ T1[:3, :3].T + T1[:3, 3])[:, 2]
+        uv1 = np.asarray(feats.uv)[np.asarray(tgt)]
+        d1 = self._sparse_depth(uv1, z1, good & np.asarray(m.valid), cam)
+        # Both initial views are keyframes (CreateInitialMapMonocular).
+        self.tracker.frames_since_kf = 10**6
+        T = self.track_rgbd(gray, d1, stamp)
+        self._mono_seed = None
+        return T
+
+    @staticmethod
+    def _sparse_depth(uv: np.ndarray, z: np.ndarray, ok: np.ndarray, cam) -> np.ndarray:
+        img = np.zeros((cam.height, cam.width), np.float32)
+        x = np.round(uv[:, 0]).astype(int)
+        y = np.round(uv[:, 1]).astype(int)
+        keep = ok & (z > 0.05) & (x >= 0) & (x < cam.width) & (y >= 0) & (y < cam.height)
+        img[y[keep], x[keep]] = z[keep]
+        return img
+
     def _on_new_keyframe(self, rgb, depth, T_cw):
         """Keyframe consumers: detection + semantic fusion (the
         RunDetect/ObjectDatabase path, SURVEY.md §3.4) and occupancy
