@@ -233,6 +233,12 @@ class LoopConfig:
     min_total_matches: int = 40
     # KFs skipped after map init before loop detection (LoopClosing.cc:129).
     min_kfs_before_loop: int = 10
+    # Optional DBoW2 vocabulary (.txt DBoW2 text format or .npz from
+    # io/vocabulary.save_binary). When set, place recognition uses the
+    # hierarchical vocabulary + L1 scoring (ORBVocabulary parity,
+    # System.cc:120-136 loads txt or bin by suffix); otherwise the flat
+    # random codebook (place_recognition.py) is used.
+    vocabulary_path: str | None = None
     # Binary global descriptor dimensionality for place recognition
     # (TPU-native replacement of the 1M-node DBoW2 tree; SURVEY.md §7
     # hard part #6).

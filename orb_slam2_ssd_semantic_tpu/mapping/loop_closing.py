@@ -48,28 +48,74 @@ class LoopCloser:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         F = cfg.map.max_keyframes
-        self.bow_db = jnp.zeros((F, pr.VOCAB_SIZE), jnp.float32)
         self.consistency: dict = {}  # candidate region -> consecutive count
         self.loops: list = []  # accepted (kf_i, kf_j, T_ji)
         self.last_loop_kf = -1
+        # Place-recognition backend: DBoW2 vocabulary (txt/npz by suffix,
+        # like the reference vocabulary boot, System.cc:120-136) when
+        # configured, else the flat random codebook.
+        self.vocab = None
+        if cfg.loop.vocabulary_path:
+            from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+
+            p = cfg.loop.vocabulary_path
+            self.vocab = (
+                voc.load_binary(p) if p.endswith(".npz") else voc.load_text_vocabulary(p)
+            )
+            K = cfg.orb.max_keypoints
+            self.word_db = jnp.full((F, K), -1, jnp.int32)
+            self.val_db = jnp.zeros((F, K), jnp.float32)
+            self._idf = jnp.asarray(self.vocab.word_weight)
+        else:
+            self.bow_db = jnp.zeros((F, pr.VOCAB_SIZE), jnp.float32)
 
     # ---- per-keyframe hooks ----------------------------------------------
+
+    def _add_and_score(self, state: SlamState, kf_id: int) -> np.ndarray:
+        """Insert keyframe kf_id into the BoW database and return its
+        similarity scores against every database row (F,)."""
+        desc = state.kfs.desc[kf_id]
+        valid = state.kfs.kp_valid[kf_id]
+        if self.vocab is not None:
+            from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+
+            words = voc.quantize(self.vocab, desc, valid)
+            vals = voc.bow_columns(words, self._idf)
+            self.word_db = self.word_db.at[kf_id].set(words)
+            self.val_db = self.val_db.at[kf_id].set(vals)
+            return np.asarray(voc.l1_scores(
+                words, vals, self.word_db, self.val_db, self.vocab.n_words
+            ))
+        vec = pr.bow_vector(desc, valid)
+        self.bow_db = self.bow_db.at[kf_id].set(vec)
+        return np.asarray(pr.bow_scores(vec, self.bow_db))
+
+    def frame_scores(self, desc, valid) -> np.ndarray:
+        """Score an arbitrary frame against the database WITHOUT
+        inserting it (DetectRelocalizationCandidates side)."""
+        if self.vocab is not None:
+            from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+
+            words = voc.quantize(self.vocab, desc, valid)
+            vals = voc.bow_columns(words, self._idf)
+            return np.asarray(voc.l1_scores(
+                words, vals, self.word_db, self.val_db, self.vocab.n_words
+            ))
+        vec = pr.bow_vector(desc, valid)
+        return np.asarray(pr.bow_scores(vec, self.bow_db))
 
     def on_keyframe(self, state: SlamState, kf_id: int):
         """Update the BoW database and attempt loop detection/closure.
         Returns (state, closed: bool)."""
         cfg = self.cfg
-        desc = state.kfs.desc[kf_id]
-        valid = state.kfs.kp_valid[kf_id]
-        vec = pr.bow_vector(desc, valid)
-        self.bow_db = self.bow_db.at[kf_id].set(vec)
+        scores = self._add_and_score(state, kf_id)
 
         if kf_id < cfg.loop.min_kfs_before_loop or (
             kf_id - self.last_loop_kf < cfg.loop.min_kfs_before_loop
         ):
             return state, False
 
-        cand = self._detect(state, kf_id, vec)
+        cand = self._detect(state, kf_id, scores)
         if cand is None:
             return state, False
         ok, T_ji, n_inl = self._estimate_loop_transform(state, kf_id, cand)
@@ -82,19 +128,15 @@ class LoopCloser:
 
     # ---- detection --------------------------------------------------------
 
-    def _detect(self, state: SlamState, kf_id: int, vec):
+    def _detect(self, state: SlamState, kf_id: int, scores: np.ndarray):
         cfg = self.cfg
-        F = self.bow_db.shape[0]
+        F = scores.shape[0]
         W = np.asarray(covisibility_row(
             state.kfs.kp_point, state.kfs.valid, kf_id, state.points.pos.shape[0]
         ))
         neighbors = W >= cfg.map.covis_weight_threshold
         # Min covis-neighbor score normalization (LoopClosing.cc:143-160).
-        if neighbors.any():
-            nb_scores = np.asarray(pr.bow_scores(vec, self.bow_db))[neighbors]
-            min_score = float(nb_scores.min())
-        else:
-            min_score = 0.0
+        min_score = float(scores[neighbors].min()) if neighbors.any() else 0.0
         exclude = np.zeros(F, bool)
         exclude[kf_id] = True
         exclude |= neighbors
@@ -103,16 +145,12 @@ class LoopCloser:
         lo = max(0, kf_id - cfg.loop.min_kfs_before_loop)
         exclude[lo : kf_id + 1] = True
 
-        ids, scores, ok = pr.detect_candidates(
-            vec, self.bow_db, np.asarray(state.kfs.valid), jnp.asarray(exclude),
-            jnp.float32(min_score),
-        )
-        ids = np.asarray(ids)
-        ok = np.asarray(ok)
+        s = np.where(np.asarray(state.kfs.valid) & (~exclude), scores, -1.0)
+        ok = s >= max(min_score, 0.0)
         if not ok.any():
             self.consistency = {}
             return None
-        best = int(ids[np.argmax(np.where(ok, np.asarray(scores), -1))])
+        best = int(np.argmax(s))
         # Consecutive-consistency requirement (LoopClosing.cc:200-290):
         # the same region (candidate +-2 keyframes) must be detected in
         # `covisibility_consistency_th` consecutive keyframes.

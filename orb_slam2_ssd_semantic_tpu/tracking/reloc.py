@@ -35,22 +35,30 @@ from orb_slam2_ssd_semantic_tpu.tracking.pose_opt import pose_optimize
 def relocalize(
     state: SlamState,
     frame,  # tracking.tracker.Frame
-    bow_db: jnp.ndarray,
+    bow_db,  # (F, VOCAB_SIZE) flat-codebook db, or a LoopCloser
     cfg: SlamConfig,
     max_candidates: int = 3,
 ):
-    """Try to relocalize `frame` against the keyframe database.
+    """Try to relocalize `frame` against the keyframe database
+    (DetectRelocalizationCandidates + PnP/rigid RANSAC + pose refine,
+    Tracking.cc:2714, KeyFrameDatabase.cc:199).
 
     Returns (success, T_cw, n_inliers)."""
     cam = cfg.camera
-    vec = pr.bow_vector(frame.feats.desc, frame.feats.valid)
-    F = bow_db.shape[0]
-    ids, scores, ok = pr.detect_candidates(
-        vec, bow_db, state.kfs.valid, jnp.zeros((F,), bool), jnp.float32(0.0),
-        max_candidates=max_candidates,
-    )
-    ids = np.asarray(ids)
-    ok_np = np.asarray(ok)
+    if hasattr(bow_db, "frame_scores"):  # LoopCloser (either backend)
+        scores = bow_db.frame_scores(frame.feats.desc, frame.feats.valid)
+        s = np.where(np.asarray(state.kfs.valid), scores, -1.0)
+        ids = np.argsort(-s)[:max_candidates]
+        ok_np = s[ids] > 0.0
+    else:
+        vec = pr.bow_vector(frame.feats.desc, frame.feats.valid)
+        F = bow_db.shape[0]
+        ids, scores, ok = pr.detect_candidates(
+            vec, bow_db, state.kfs.valid, jnp.zeros((F,), bool), jnp.float32(0.0),
+            max_candidates=max_candidates,
+        )
+        ids = np.asarray(ids)
+        ok_np = np.asarray(ok)
 
     pf = cam_ops.backproject(frame.feats.uv, frame.kp_depth, cam)
     vf = frame.feats.valid & frame.is_stereo

@@ -613,7 +613,7 @@ class Tracker:
                 from orb_slam2_ssd_semantic_tpu.tracking.reloc import relocalize
 
                 ok_reloc, T_reloc, n_reloc = relocalize(
-                    self.state, frame, self.loop_closer.bow_db, cfg
+                    self.state, frame, self.loop_closer, cfg
                 )
                 if ok_reloc:
                     self.status = "OK"

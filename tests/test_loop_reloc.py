@@ -117,3 +117,40 @@ def test_relocalization_recovers_pose():
     T_ref = tr.absolute_poses()[5][1]
     err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_ref)) @ T))
     assert np.linalg.norm(err[:3]) < 0.05
+
+
+def test_loopcloser_vocabulary_backend(tmp_path, rng):
+    """LoopCloser with a DBoW2-format vocabulary: insertion + scoring +
+    reloc-side frame_scores agree with the vocabulary module directly."""
+    import dataclasses
+
+    from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+    from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
+
+    v = voc.make_random_vocabulary(seed=5, k=4, depth=3, n_desc=800)
+    p = str(tmp_path / "voc.npz")
+    voc.save_binary(v, p)
+    cfg = SlamConfig()
+    cfg = dataclasses.replace(cfg, loop=dataclasses.replace(cfg.loop, vocabulary_path=p))
+
+    lc = LoopCloser(cfg)
+    assert lc.vocab is not None
+
+    state = empty_state(cfg)
+    K = cfg.orb.max_keypoints
+    desc = rng.integers(0, 2**32, (K, 8), dtype=np.uint32)
+    kfs = state.kfs._replace(
+        desc=state.kfs.desc.at[0].set(jnp.asarray(desc)),
+        kp_valid=state.kfs.kp_valid.at[0].set(True),
+        valid=state.kfs.valid.at[0].set(True),
+    )
+    state = state._replace(kfs=kfs, n_kfs=jnp.int32(1))
+    state, closed = lc.on_keyframe(state, 0)
+    assert not closed  # too early for loops
+    # The same frame must score ~1 against its own database row.
+    s = lc.frame_scores(jnp.asarray(desc), jnp.ones((K,), bool))
+    assert s[0] > 0.999
+    other = rng.integers(0, 2**32, (K, 8), dtype=np.uint32)
+    s2 = lc.frame_scores(jnp.asarray(other), jnp.ones((K,), bool))
+    assert s2[0] < s[0]
