@@ -233,6 +233,9 @@ class LoopConfig:
     min_total_matches: int = 40
     # KFs skipped after map init before loop detection (LoopClosing.cc:129).
     min_kfs_before_loop: int = 10
+    # Run full-map bundle adjustment after each accepted loop correction
+    # (the GBA thread of LoopClosing.cc:773-826).
+    run_global_ba: bool = True
     # Optional DBoW2 vocabulary (.txt DBoW2 text format or .npz from
     # io/vocabulary.save_binary). When set, place recognition uses the
     # hierarchical vocabulary + L1 scoring (ORBVocabulary parity,

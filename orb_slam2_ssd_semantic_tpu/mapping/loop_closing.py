@@ -225,4 +225,16 @@ class LoopCloser:
             pos=jnp.where(state.points.valid[:, None], p_new, p)
         )
         kfs = state.kfs._replace(T_cw=T_after)
-        return state._replace(points=pts, kfs=kfs)
+        state = state._replace(points=pts, kfs=kfs)
+
+        # Full-map bundle adjustment seeded by the pose-graph solution
+        # (the GBA thread the reference spawns in LoopClosing.cc:773-779;
+        # RunGlobalBundleAdjustment 826: 10 iterations + map-wide
+        # write-back).
+        if cfg.loop.run_global_ba:
+            from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+                global_ba_step_state,
+            )
+
+            state = global_ba_step_state(state, cfg)
+        return state

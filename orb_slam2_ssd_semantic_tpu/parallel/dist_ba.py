@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
@@ -64,3 +64,45 @@ def make_distributed_pose_step(mesh, cam: CameraConfig):
         return se3.se3_exp(dx) @ T_cw
 
     return jax.jit(step)
+
+
+def make_distributed_global_ba(mesh, cam: CameraConfig, cfg, cg_iters: int = 20):
+    """Distributed full-map bundle adjustment: the implicit-Schur PCG of
+    mapping/global_ba.py with the M observation slots sharded over the
+    ``pt`` mesh axis.
+
+    Poses/points/validity are replicated (they are small: F*16 + P*3
+    floats); the per-observation Jacobian blocks — the O(M) memory and
+    FLOPs — stay shard-local, and each segment-sum into the (F,6,6) /
+    (P,3,3) / (F,6) / (P,3) aggregates becomes a local scatter + one
+    psum over ICI. Every device then runs the identical small PCG
+    redundantly (cheaper than gathering). This is the 'distributed BA
+    via Schur complement, camera-block reduction with psum' design of
+    SURVEY.md §2.6 P12 / §7 stage 5.
+
+    The returned function takes a GlobalBAProblem whose obs_* arrays are
+    device_put with PartitionSpec(PT_AXIS) on dim 0 (pad M to a multiple
+    of the mesh size) and returns a GlobalBAResult with replicated
+    poses/points and sharded per-observation inlier/chi2.
+    """
+    from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+        GlobalBAProblem,
+        global_ba_core,
+    )
+
+    obs_spec = GlobalBAProblem(
+        T_cw=P(), fixed=P(), points=P(), point_valid=P(),
+        obs_kf=P(PT_AXIS), obs_pt=P(PT_AXIS), obs_uvr=P(PT_AXIS),
+        inv_sigma2=P(PT_AXIS), is_stereo=P(PT_AXIS), obs_valid=P(PT_AXIS),
+    )
+    from orb_slam2_ssd_semantic_tpu.mapping.global_ba import GlobalBAResult
+
+    out_spec = GlobalBAResult(T_cw=P(), points=P(), inlier=P(PT_AXIS), chi2=P(PT_AXIS))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(obs_spec,), out_specs=out_spec,
+    )
+    def run(prob):
+        return global_ba_core(prob, cam, cfg, cg_iters, axis_name=PT_AXIS)
+
+    return jax.jit(run)

@@ -1,0 +1,167 @@
+"""Global bundle adjustment: implicit-Schur PCG full-map refinement.
+
+Mirrors the correctness contract of Optimizer::GlobalBundleAdjustemnt
+(perfect/src/Optimizer.cc:72-363): given noisy keyframe poses and map
+points with known-good observations, joint optimization must recover
+the ground-truth geometry (up to the fixed gauge keyframe).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig, SlamConfig
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+    GlobalBAProblem,
+    global_bundle_adjust,
+    global_ba_step_state,
+)
+
+CAM = CameraConfig()
+
+
+def build_problem(rng, F=12, P=300, noise_pose=0.03, noise_point=0.05,
+                  outlier_frac=0.0, stereo=True):
+    """Cameras on an arc looking at a point cloud; every camera observes
+    every point that projects inside the image."""
+    pts = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(4, 9, P)], -1
+    ).astype(np.float32)
+
+    T_gt = []
+    for i in range(F):
+        xi = np.array([0.15 * i, 0.01 * i, 0.0, 0.0, 0.025 * i, 0.0], np.float32)
+        T_gt.append(np.asarray(se3.se3_exp(jnp.asarray(xi))))
+    T_gt = np.stack(T_gt)
+
+    obs_kf, obs_pt, obs_uvr, valid = [], [], [], []
+    for f in range(F):
+        p = pts @ T_gt[f, :3, :3].T + T_gt[f, :3, 3]
+        z = p[:, 2]
+        u = CAM.fx * p[:, 0] / z + CAM.cx
+        v = CAM.fy * p[:, 1] / z + CAM.cy
+        ur = u - CAM.depth_bf / z
+        inside = (u > 10) & (u < 630) & (v > 10) & (v < 470) & (z > 0.3)
+        for j in np.nonzero(inside)[0]:
+            obs_kf.append(f)
+            obs_pt.append(j)
+            obs_uvr.append([u[j], v[j], ur[j] if stereo else -1.0])
+            valid.append(True)
+    M = len(obs_kf)
+    obs_uvr = np.asarray(obs_uvr, np.float32)
+    # Pixel noise.
+    obs_uvr[:, :2] += rng.normal(0, 0.3, (M, 2)).astype(np.float32)
+    if stereo:
+        obs_uvr[:, 2] += rng.normal(0, 0.3, M).astype(np.float32)
+    n_out = int(outlier_frac * M)
+    if n_out:
+        idx = rng.choice(M, n_out, replace=False)
+        obs_uvr[idx, :2] += rng.uniform(30, 80, (n_out, 2)).astype(np.float32)
+
+    # Perturb initial estimates; keep KF0 exact (gauge).
+    T0 = T_gt.copy()
+    for f in range(1, F):
+        xi = rng.normal(0, noise_pose, 6).astype(np.float32)
+        T0[f] = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ T0[f]
+    pts0 = pts + rng.normal(0, noise_point, (P, 3)).astype(np.float32)
+
+    prob = GlobalBAProblem(
+        T_cw=jnp.asarray(T0),
+        fixed=jnp.asarray(np.arange(F) == 0),
+        points=jnp.asarray(pts0),
+        point_valid=jnp.ones((P,), bool),
+        obs_kf=jnp.asarray(obs_kf, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uvr=jnp.asarray(obs_uvr),
+        inv_sigma2=jnp.ones((M,), jnp.float32),
+        is_stereo=jnp.full((M,), stereo),
+        obs_valid=jnp.asarray(valid),
+    )
+    return prob, T_gt, pts
+
+
+def pose_errors(T_est, T_gt):
+    c_est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in np.asarray(T_est)])
+    c_gt = np.stack([-T[:3, :3].T @ T[:3, 3] for T in T_gt])
+    return np.linalg.norm(c_est - c_gt, axis=-1)
+
+
+def test_global_ba_converges(rng):
+    prob, T_gt, pts_gt = build_problem(rng)
+    err0 = pose_errors(prob.T_cw, T_gt).max()
+    res = global_bundle_adjust(prob, CAM, OptimizerConfig(), cg_iters=30)
+    err1 = pose_errors(res.T_cw, T_gt).max()
+    assert err1 < 0.01, f"pose error {err1:.4f} (from {err0:.4f})"
+    pt_err = np.linalg.norm(np.asarray(res.points) - pts_gt, axis=-1)
+    assert np.median(pt_err) < 0.02
+    assert err1 < 0.25 * err0
+
+
+def test_global_ba_rejects_outliers(rng):
+    prob, T_gt, pts_gt = build_problem(rng, outlier_frac=0.1)
+    res = global_bundle_adjust(prob, CAM, OptimizerConfig(), cg_iters=30)
+    err = pose_errors(res.T_cw, T_gt).max()
+    # Huber keeps the solution near truth despite 10% gross outliers.
+    assert err < 0.03
+    # The chi2 gate flags the corrupted observations.
+    assert np.asarray(res.inlier).mean() < 0.95
+
+
+def test_global_ba_mono_observations(rng):
+    prob, T_gt, pts_gt = build_problem(rng, stereo=False, noise_pose=0.02)
+    res = global_bundle_adjust(prob, CAM, OptimizerConfig(), cg_iters=30)
+    err = pose_errors(res.T_cw, T_gt)
+    assert err.max() < 0.05
+
+
+def test_global_ba_state_wrapper(rng):
+    """global_ba_step_state refines a small populated SlamState."""
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
+
+    cfg = SlamConfig()
+    state = empty_state(cfg)
+    F_use, P_use = 6, 200
+    prob, T_gt, pts_gt = build_problem(rng, F=F_use, P=P_use, noise_pose=0.02)
+
+    kfs = state.kfs
+    K = kfs.uv.shape[1]
+    kp_point = np.full((kfs.kp_point.shape[0], K), -1, np.int32)
+    uv = np.zeros((kfs.uv.shape[0], K, 2), np.float32)
+    depth = np.zeros((kfs.depth.shape[0], K), np.float32)
+    kp_valid = np.zeros((kfs.kp_valid.shape[0], K), bool)
+    # Pack each keyframe's observations into its keypoint slots.
+    obs_kf = np.asarray(prob.obs_kf)
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_uvr = np.asarray(prob.obs_uvr)
+    for f in range(F_use):
+        rows = np.nonzero(obs_kf == f)[0][:K]
+        k = len(rows)
+        kp_point[f, :k] = obs_pt[rows]
+        uv[f, :k] = obs_uvr[rows, :2]
+        depth[f, :k] = CAM.depth_bf / np.maximum(obs_uvr[rows, 0] - obs_uvr[rows, 2], 1e-6)
+        kp_valid[f, :k] = True
+
+    kfs = kfs._replace(
+        T_cw=kfs.T_cw.at[:F_use].set(jnp.asarray(np.asarray(prob.T_cw)[:F_use])),
+        uv=jnp.asarray(uv),
+        depth=jnp.asarray(depth),
+        kp_valid=jnp.asarray(kp_valid),
+        kp_point=jnp.asarray(kp_point),
+        valid=kfs.valid.at[:F_use].set(True),
+    )
+    pts = state.points._replace(
+        pos=state.points.pos.at[:P_use].set(jnp.asarray(np.asarray(prob.points)[:P_use])),
+        valid=state.points.valid.at[:P_use].set(True),
+        n_obs=state.points.n_obs.at[:P_use].set(3),
+    )
+    state = state._replace(
+        kfs=kfs, points=pts,
+        n_kfs=jnp.int32(F_use), n_points=jnp.int32(P_use),
+    )
+
+    out = global_ba_step_state(state, cfg, cg_iters=30)
+    err0 = pose_errors(np.asarray(state.kfs.T_cw[:F_use]), T_gt[:F_use]).max()
+    err1 = pose_errors(np.asarray(out.kfs.T_cw[:F_use]), T_gt[:F_use]).max()
+    assert err1 < 0.02, f"{err0:.4f} -> {err1:.4f}"
+    assert err1 < err0

@@ -1,0 +1,100 @@
+"""Distributed BA over the virtual 8-device CPU mesh.
+
+Validates the scale-out path of SURVEY.md §2.6 P12 / §7 stage 5: the
+observation-sharded implicit-Schur global BA must reproduce the
+single-device solution bit-for-nearly (same math, psum-reduced), and
+the motion-only distributed GN step must hold a perfect seed fixed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
+from orb_slam2_ssd_semantic_tpu.mapping.global_ba import global_bundle_adjust
+from orb_slam2_ssd_semantic_tpu.parallel.dist_ba import (
+    make_distributed_global_ba,
+    make_distributed_pose_step,
+)
+from orb_slam2_ssd_semantic_tpu.parallel.mesh import PT_AXIS, make_mesh
+
+from tests.test_global_ba import build_problem, pose_errors
+
+CAM = CameraConfig()
+
+
+def _pad_to(prob, multiple):
+    M = prob.obs_kf.shape[0]
+    pad = (-M) % multiple
+    if pad == 0:
+        return prob
+    z = lambda a, fill=0: jnp.concatenate(
+        [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+    )
+    return prob._replace(
+        obs_kf=z(prob.obs_kf),
+        obs_pt=z(prob.obs_pt),
+        obs_uvr=z(prob.obs_uvr),
+        inv_sigma2=z(prob.inv_sigma2, 1),
+        is_stereo=z(prob.is_stereo),
+        obs_valid=z(prob.obs_valid),
+    )
+
+
+def test_distributed_global_ba_matches_single_device(rng):
+    n_dev = len(jax.devices())
+    assert n_dev >= 8
+    prob, T_gt, pts_gt = build_problem(rng, F=10, P=256)
+    prob = _pad_to(prob, n_dev)
+    cfg = OptimizerConfig()
+
+    ref = global_bundle_adjust(prob, CAM, cfg, cg_iters=25)
+
+    mesh = make_mesh(n_kf=1, n_pt=n_dev)
+    sh = NamedSharding(mesh, P(PT_AXIS))
+    rep = NamedSharding(mesh, P())
+    prob_sharded = prob._replace(
+        T_cw=jax.device_put(prob.T_cw, rep),
+        fixed=jax.device_put(prob.fixed, rep),
+        points=jax.device_put(prob.points, rep),
+        point_valid=jax.device_put(prob.point_valid, rep),
+        obs_kf=jax.device_put(prob.obs_kf, sh),
+        obs_pt=jax.device_put(prob.obs_pt, sh),
+        obs_uvr=jax.device_put(prob.obs_uvr, sh),
+        inv_sigma2=jax.device_put(prob.inv_sigma2, sh),
+        is_stereo=jax.device_put(prob.is_stereo, sh),
+        obs_valid=jax.device_put(prob.obs_valid, sh),
+    )
+    run = make_distributed_global_ba(mesh, CAM, cfg, cg_iters=25)
+    out = run(prob_sharded)
+
+    # Both converge to ground truth ...
+    assert pose_errors(out.T_cw, T_gt).max() < 0.01
+    # ... and to each other (identical math, summation order aside).
+    dT = np.abs(np.asarray(out.T_cw) - np.asarray(ref.T_cw)).max()
+    assert dT < 5e-3, f"distributed vs single-device pose drift {dT}"
+    agree = (np.asarray(out.inlier) == np.asarray(ref.inlier)).mean()
+    assert agree > 0.999
+
+
+def test_distributed_pose_step_fixed_point(rng):
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_kf=1, n_pt=n_dev)
+    n = 64 * n_dev
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(2, 5, n)], -1
+    ).astype(np.float32)
+    u = CAM.fx * pts[:, 0] / pts[:, 2] + CAM.cx
+    v = CAM.fy * pts[:, 1] / pts[:, 2] + CAM.cy
+    ur = u - CAM.depth_bf / pts[:, 2]
+    obs = np.stack([u, v, ur], -1).astype(np.float32)
+    sh = NamedSharding(mesh, P(PT_AXIS))
+    step = make_distributed_pose_step(mesh, CAM)
+    T = step(
+        jnp.eye(4, dtype=jnp.float32),
+        jax.device_put(jnp.asarray(pts), sh),
+        jax.device_put(jnp.asarray(obs), sh),
+        jax.device_put(jnp.ones((n,), jnp.float32), sh),
+    )
+    assert float(jnp.abs(T - jnp.eye(4)).max()) < 1e-3
