@@ -128,3 +128,20 @@ def test_merge_radii_table():
     assert MERGE_RADII[VOC_CLASSES.index("bottle")] == np.float32(0.06)
     assert MERGE_RADII[VOC_CLASSES.index("person")] == np.float32(0.35)
     assert MERGE_RADII[VOC_CLASSES.index("tvmonitor")] == np.float32(0.25)
+
+
+def test_detect_locate_app_runs(tmp_path):
+    """The standalone detect+locate demo (realtime_dect_loc equivalent)
+    runs end-to-end on npy frame pairs without SLAM."""
+    import numpy as np
+
+    from orb_slam2_ssd_semantic_tpu.apps import detect_locate
+
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        rgb = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        depth = np.full((48, 64), 2.0, np.float32)
+        np.save(tmp_path / f"rgb_{i}.npy", rgb)
+        np.save(tmp_path / f"depth_{i}.npy", depth)
+    db = detect_locate.main(["--frames", "2", "--source", str(tmp_path)])
+    assert db is not None
