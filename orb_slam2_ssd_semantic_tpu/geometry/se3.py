@@ -54,9 +54,12 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Logarithm map. R: (..., 3, 3) -> w (..., 3)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    w_raw = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0
-    sin_theta = jnp.sin(theta)
+    w_raw = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0  # = sin(theta) * axis
+    # atan2 instead of arccos: identical on [0, pi] but with finite
+    # derivatives at theta=0 (arccos'(1) = -inf breaks autodiff through
+    # this map, e.g. the Sim3 pose-graph edge Jacobians).
+    sin_theta = jnp.sqrt(jnp.sum(w_raw * w_raw, axis=-1) + 1e-32)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     # Near theta=0: w ~ vee(R - R^T)/2. Near theta=pi use diagonal form.
     small = theta < 1e-6
     scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_theta + 1e-32))
@@ -203,6 +206,71 @@ def sim3_inverse(s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
 def sim3_compose(s1, R1, t1, s2, R2, t2):
     """(s1,R1,t1) o (s2,R2,t2): first apply 2, then 1."""
     return s1 * s2, R1 @ R2, s1[..., None] * jnp.einsum("...ij,...j->...i", R1, t2) + t1
+
+
+def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The Sim(3) translation coupling matrix W(phi, sigma) with
+    exp([rho, phi, sigma]) = (e^sigma, so3_exp(phi), W rho)
+    (Strasdat, "Local accuracy and global consistency for efficient
+    visual SLAM", eq. 5.7; branch-free Taylor-safe form)."""
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta2 + 1e-32)
+    s = jnp.exp(sigma)
+    Phi = hat(phi)
+    Phi2 = Phi @ Phi
+
+    sig_small = jnp.abs(sigma) < 1e-5
+    th_small = theta2 < 1e-10
+    sigma_safe = jnp.where(sig_small, 1.0, sigma)
+    theta_safe = jnp.where(th_small, 1.0, theta)
+    denom = sigma_safe * sigma_safe + theta2
+
+    # C = (s - 1) / sigma, -> 1 as sigma -> 0.
+    C = jnp.where(sig_small, 1.0 + sigma / 2.0, (s - 1.0) / sigma_safe)
+    # A and B (coefficients of Phi and Phi^2).
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    A_g = (s * sin_t * sigma_safe + (1.0 - s * cos_t) * theta) / (
+        theta_safe * denom
+    )
+    B_g = (
+        C - ((s * cos_t - 1.0) * sigma_safe + s * sin_t * theta) / denom
+    ) / jnp.where(th_small, 1.0, theta2)
+    # sigma -> 0 limits: A -> (1 - cos)/theta^2, B -> (theta - sin)/theta^3.
+    A_0 = jnp.where(th_small, 0.5, (1.0 - cos_t) / jnp.where(th_small, 1.0, theta2))
+    B_0 = jnp.where(
+        th_small, 1.0 / 6.0, (theta - sin_t) / jnp.where(th_small, 1.0, theta2 * theta_safe)
+    )
+    # theta -> 0 limits (sigma != 0), from the Taylor expansion in theta.
+    A_t0 = (s * sigma_safe - s + 1.0) / (sigma_safe * sigma_safe)
+    B_t0 = (s - 1.0) / sigma_safe**3 - (s - s * sigma_safe / 2.0) / (
+        sigma_safe * sigma_safe
+    )
+    A = jnp.where(sig_small, A_0, jnp.where(th_small, A_t0, A_g))
+    B = jnp.where(sig_small, B_0, jnp.where(th_small, B_t0, B_g))
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Phi.shape)
+    return (
+        C[..., None, None] * eye
+        + A[..., None, None] * Phi
+        + B[..., None, None] * Phi2
+    )
+
+
+def sim3_exp(v: jnp.ndarray):
+    """Sim(3) exponential. v (..., 7) = [rho, phi, sigma] ->
+    (s (...,), R (..., 3, 3), t (..., 3))."""
+    rho, phi, sigma = v[..., 0:3], v[..., 3:6], v[..., 6]
+    W = _sim3_W(phi, sigma)
+    return jnp.exp(sigma), so3_exp(phi), jnp.einsum("...ij,...j->...i", W, rho)
+
+
+def sim3_log(s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Sim(3) logarithm -> (..., 7) = [rho, phi, sigma]."""
+    sigma = jnp.log(s)
+    phi = so3_log(R)
+    W = _sim3_W(phi, sigma)
+    rho = jnp.linalg.solve(W, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
 def horn_sim3(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray | None = None,

@@ -103,6 +103,115 @@ def optimize_pose_graph(
     return T_out
 
 
+class Sim3Graph(NamedTuple):
+    """Sim(3) pose-graph edges: the measured similarity j<-i is
+    (s_ji, T_ji[:3,:3], T_ji[:3,3])."""
+
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    s_ji: jnp.ndarray  # (E,) float32 measured relative scale
+    T_ji: jnp.ndarray  # (E, 4, 4) measured rotation|translation
+    weight: jnp.ndarray  # (E,)
+    valid: jnp.ndarray  # (E,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_sim3(
+    T_cw: jnp.ndarray,  # (F, 4, 4) initial keyframe poses
+    log_s: jnp.ndarray,  # (F,) initial log-scales (zeros normally)
+    kf_valid: jnp.ndarray,  # (F,)
+    graph: Sim3Graph,
+    fixed: jnp.ndarray | None = None,
+    iters: int = 20,
+):
+    """7-DoF essential-graph optimization — the monocular form of
+    Optimizer::OptimizeEssentialGraph (perfect/src/Optimizer.cc:995-1308),
+    where loop closure must also absorb accumulated scale drift
+    (g2o::VertexSim3Expmap vertices). Minimizes
+    sum_e w_e || sim3_log( S_ji * S_i * S_j^-1 ) ||^2 over vertices
+    S_i = (exp(log_s_i), R_i, t_i), gauge fixed at keyframe 0.
+
+    Edge Jacobians come from forward-mode autodiff of the residual wrt
+    left-multiplicative sim3 perturbations — exact, branch-free, and a
+    few lines instead of hand-derived Sim3 adjoints.
+
+    Returns (T_cw_opt (F,4,4), log_s_opt (F,)). Map points must be
+    corrected with the FULL similarity: p' = S'_ref^-1 ( S_ref p )."""
+    F = T_cw.shape[0]
+    if fixed is None:
+        fixed = jnp.arange(F) == 0
+    free = (~fixed) & kf_valid
+    D = 7
+
+    ei = jnp.clip(graph.edge_i, 0, F - 1)
+    ej = jnp.clip(graph.edge_j, 0, F - 1)
+    w = jnp.where(graph.valid & kf_valid[ei] & kf_valid[ej], graph.weight, 0.0)
+    s_m = graph.s_ji
+    R_m = graph.T_ji[:, :3, :3]
+    t_m = graph.T_ji[:, :3, 3]
+
+    def edge_residual(xi, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+        """Residual with left perturbations xi = [xi_i (7), xi_j (7)]."""
+        dsi, dRi, dti = se3.sim3_exp(xi[:7])
+        dsj, dRj, dtj = se3.sim3_exp(xi[7:])
+        si_, Ri_, ti_ = se3.sim3_compose(dsi, dRi, dti, si, Ri, ti)
+        sj_, Rj_, tj_ = se3.sim3_compose(dsj, dRj, dtj, sj, Rj, tj)
+        sji, Rji, tji = se3.sim3_inverse(sj_, Rj_, tj_)
+        s1, R1, t1 = se3.sim3_compose(si_, Ri_, ti_, sji, Rji, tji)
+        s2, R2, t2 = se3.sim3_compose(sm, Rm, tm, s1, R1, t1)
+        return se3.sim3_log(s2, R2, t2)
+
+    def edge_r_J(si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+        zero = jnp.zeros((14,), jnp.float32)
+        r = edge_residual(zero, si, Ri, ti, sj, Rj, tj, sm, Rm, tm)
+        J = jax.jacfwd(edge_residual)(zero, si, Ri, ti, sj, Rj, tj, sm, Rm, tm)
+        return r, J[:, :7], J[:, 7:]
+
+    def gn_step(carry, _):
+        T, ls = carry
+        s_all = jnp.exp(ls)
+        R_all = T[:, :3, :3]
+        t_all = T[:, :3, 3]
+        r, J_i, J_j = jax.vmap(edge_r_J)(
+            s_all[ei], R_all[ei], t_all[ei],
+            s_all[ej], R_all[ej], t_all[ej],
+            s_m, R_m, t_m,
+        )
+
+        Wr = w[:, None] * r
+        g = jnp.zeros((F, D), jnp.float32)
+        g = g.at[ei].add(jnp.einsum("eab,ea->eb", J_i, Wr))
+        g = g.at[ej].add(jnp.einsum("eab,ea->eb", J_j, Wr))
+
+        H = jnp.zeros((F, F, D, D), jnp.float32)
+        Hii = jnp.einsum("eab,e,eac->ebc", J_i, w, J_i)
+        Hjj = jnp.einsum("eab,e,eac->ebc", J_j, w, J_j)
+        Hij = jnp.einsum("eab,e,eac->ebc", J_i, w, J_j)
+        H = H.at[ei, ei].add(Hii)
+        H = H.at[ej, ej].add(Hjj)
+        H = H.at[ei, ej].add(Hij)
+        H = H.at[ej, ei].add(jnp.swapaxes(Hij, -1, -2))
+
+        free_f = free.astype(jnp.float32)
+        H = H * free_f[:, None, None, None] * free_f[None, :, None, None]
+        g = g * free_f[:, None]
+
+        Hm = H.transpose(0, 2, 1, 3).reshape(D * F, D * F)
+        diag_fix = jnp.repeat(~free, D).astype(jnp.float32)
+        Hm = Hm + jnp.diag(diag_fix + 1e-5)
+        dx = jnp.linalg.solve(Hm, -g.reshape(-1)).reshape(F, D)
+        dx = dx * free_f[:, None]
+
+        ds, dR, dt = se3.sim3_exp(dx)
+        R_new = dR @ R_all
+        t_new = ds[:, None] * jnp.einsum("fij,fj->fi", dR, t_all) + dt
+        T_new = T.at[:, :3, :3].set(R_new).at[:, :3, 3].set(t_new)
+        return (T_new, ls + dx[:, 6]), None
+
+    (T_out, ls_out), _ = jax.lax.scan(gn_step, (T_cw, log_s), None, length=iters)
+    return T_out, ls_out
+
+
 def build_graph_arrays(covis, kf_valid, threshold: int, max_edges: int,
                        T_cw, extra_edges=None):
     """Host-side edge assembly from a covisibility matrix: spanning

@@ -154,3 +154,66 @@ def test_loopcloser_vocabulary_backend(tmp_path, rng):
     other = rng.integers(0, 2**32, (K, 8), dtype=np.uint32)
     s2 = lc.frame_scores(jnp.asarray(other), jnp.ones((K,), bool))
     assert s2[0] < s[0]
+
+
+def test_sim3_exp_log_roundtrip(rng):
+    from orb_slam2_ssd_semantic_tpu.geometry import se3
+
+    v = jnp.asarray(rng.normal(0, 0.7, (32, 7)).astype(np.float32))
+    v = v.at[0].set(0.0).at[1, 6].set(0.0).at[2, 3:6].set(0.0)
+    s, R, t = se3.sim3_exp(v)
+    v2 = se3.sim3_log(s, R, t)
+    assert np.abs(np.asarray(v2 - v)).max() < 1e-4
+
+
+def test_sim3_pose_graph_recovers_scale_drift(rng):
+    """Monocular-style scale drift: vertices estimated with accumulating
+    scale error; exact Sim3 edge measurements (incl. a loop edge) must
+    pull scales and poses back to ground truth — the 7-DoF
+    OptimizeEssentialGraph behavior (Optimizer.cc:995, VertexSim3Expmap)."""
+    from orb_slam2_ssd_semantic_tpu.geometry import se3
+    from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
+        Sim3Graph,
+        optimize_pose_graph_sim3,
+    )
+
+    F = 10
+    # Ground truth: cameras around a circle, unit scale.
+    T_gt = []
+    for i in range(F):
+        a = 2 * np.pi * i / F
+        xi = np.array([np.cos(a), 0.05 * i, np.sin(a), 0.0, a * 0.3, 0.0], np.float32)
+        T_gt.append(np.asarray(se3.se3_exp(jnp.asarray(xi))))
+    T_gt = np.stack(T_gt)
+
+    # Initial estimates: perturbed poses + scale drift in the vertices.
+    T0 = T_gt.copy()
+    for i in range(1, F):
+        noise = rng.normal(0, 0.05, 6).astype(np.float32)
+        T0[i] = np.asarray(se3.se3_exp(jnp.asarray(noise))) @ T0[i]
+    log_s0 = jnp.asarray(
+        np.concatenate([[0.0], rng.normal(0, 0.15, F - 1)]).astype(np.float32)
+    )
+
+    # Exact measurements from ground truth (s_ji = 1).
+    edges = [(i, i + 1) for i in range(F - 1)] + [(0, F - 1), (2, 7)]
+    E = len(edges)
+    ei = np.array([e[0] for e in edges], np.int32)
+    ej = np.array([e[1] for e in edges], np.int32)
+    Tji = np.stack([T_gt[j] @ np.linalg.inv(T_gt[i]) for i, j in edges]).astype(
+        np.float32
+    )
+    graph = Sim3Graph(
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        s_ji=jnp.ones((E,), jnp.float32),
+        T_ji=jnp.asarray(Tji),
+        weight=jnp.ones((E,), jnp.float32),
+        valid=jnp.ones((E,), bool),
+    )
+    T_opt, ls_opt = optimize_pose_graph_sim3(
+        jnp.asarray(T0), log_s0, jnp.ones(F, bool), graph, iters=30
+    )
+    assert np.abs(np.asarray(ls_opt)).max() < 1e-3  # scale drift absorbed
+    err = np.abs(np.asarray(T_opt) - T_gt).max()
+    assert err < 1e-3, err
