@@ -26,6 +26,11 @@ import os
 import sys
 import time
 
+# Persistent XLA compilation cache: first-compile through the remote-TPU
+# relay costs 20-40s per program; cached reruns skip it entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 BASELINE_FPS = 30.0
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
 

@@ -75,7 +75,7 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     quotas = select_ops.level_quotas(cfg.n_features, cfg.n_levels, cfg.scale_factor)
     levels = image_ops.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
 
-    per_level = []
+    uv_all, lvl_all, score_all, valid_all, patches_all = [], [], [], [], []
     for lvl, (lv_img, quota) in enumerate(zip(levels, quotas)):
         score_raw = fast_ops.fast_score_map(lv_img)
         score = fast_ops.nms3x3(score_raw)
@@ -89,18 +89,12 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
             border=cfg.edge_threshold,
         )
         uv = select_ops.subpixel_refine(score_raw, uv, valid)
-        # Dense MXU formulations of orientation + descriptors (see
-        # ops/orb_descriptor.py "Fast TPU path"): ONE padded per-keypoint
-        # patch extraction via one-hot selector matmuls; the IC angle is
-        # a patch moment matmul on the raw center; the BRIEF pre-blur
-        # (ORBextractor.cc:1105) runs inside the padded patch; steered
-        # BRIEF is one one-hot sampling matmul over 32 quantized
-        # orientations.
-        patches_raw = extract_patches(lv_img, uv, half=HALF_PATCH + BLUR_PAD)
-        ang = ic_angle_from_patches(
-            patches_raw[:, BLUR_PAD:-BLUR_PAD, BLUR_PAD:-BLUR_PAD], valid
-        )
-        desc = binned_brief(blur_patches(patches_raw), ang, valid)
+        # Per-keypoint padded RAW patches via one-hot selector matmuls
+        # (ops/orb_descriptor.py "Fast TPU path"). Orientation +
+        # descriptors are deferred and computed ONCE over all levels'
+        # keypoints: 8 skinny per-level GEMMs (N ~ 50-220 each) become a
+        # single 1000-row GEMM that actually fills the MXU.
+        patches_all.append(extract_patches(lv_img, uv, half=HALF_PATCH + BLUR_PAD))
         # Exact level->base coordinate mapping. Bilinear resize uses the
         # half-pixel-centers convention: level pixel p sits at base
         # coordinate (p + 0.5) * (base/level) - 0.5, NOT p * scale. The
@@ -115,20 +109,30 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
         uv_base = jnp.stack(
             [(uv[:, 0] + 0.5) * sx - 0.5, (uv[:, 1] + 0.5) * sy - 0.5], axis=-1
         )
-        uv_base = jnp.where(valid[:, None], uv_base, 0.0)
-        per_level.append(
-            Features(
-                uv=uv_base,
-                level=jnp.full((uv.shape[0],), lvl, dtype=jnp.int32),
-                angle=ang,
-                score=s,
-                desc=desc,
-                valid=valid,
-            )
-        )
+        uv_all.append(jnp.where(valid[:, None], uv_base, 0.0))
+        lvl_all.append(jnp.full((uv.shape[0],), lvl, dtype=jnp.int32))
+        score_all.append(s)
+        valid_all.append(valid)
 
-    feats = Features(*[jnp.concatenate([getattr(f, n) for f in per_level], axis=0)
-                       for n in Features._fields])
+    patches_raw = jnp.concatenate(patches_all, axis=0)  # (N_total, 37, 37)
+    valid = jnp.concatenate(valid_all, axis=0)
+    # The IC angle is a patch moment matmul on the raw center; the BRIEF
+    # pre-blur (ORBextractor.cc:1105) runs inside the padded patch;
+    # steered BRIEF is one one-hot sampling matmul over 32 quantized
+    # orientations — all levels in one shot.
+    ang = ic_angle_from_patches(
+        patches_raw[:, BLUR_PAD:-BLUR_PAD, BLUR_PAD:-BLUR_PAD], valid
+    )
+    desc = binned_brief(blur_patches(patches_raw), ang, valid)
+
+    feats = Features(
+        uv=jnp.concatenate(uv_all, axis=0),
+        level=jnp.concatenate(lvl_all, axis=0),
+        angle=ang,
+        score=jnp.concatenate(score_all, axis=0),
+        desc=desc,
+        valid=valid,
+    )
 
     # Pad / trim to the fixed capacity.
     k = cfg.max_keypoints

@@ -68,12 +68,18 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale_factor: float):
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float):
     """List of per-level images, level 0 = input. Successive-resize like the
-    reference (each level resized from the previous, not from level 0)."""
+    reference (each level resized from the previous, not from level 0).
+
+    Levels are rounded to integer values — the reference's pyramid is
+    CV_8U (ORBextractor.cc:1117-1146), so every downstream consumer sees
+    integer pixels there too. Integer-valued levels also make the
+    extractor's bf16 one-hot patch/descriptor matmuls exact (integers
+    <= 255 are representable in bf16)."""
     h, w = img.shape
     shapes = pyramid_shapes(h, w, n_levels, scale_factor)
     levels = [img]
     for lvl in range(1, n_levels):
-        levels.append(resize_bilinear(levels[-1], *shapes[lvl]))
+        levels.append(jnp.round(resize_bilinear(levels[-1], *shapes[lvl])))
     return levels
 
 

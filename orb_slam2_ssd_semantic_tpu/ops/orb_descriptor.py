@@ -158,8 +158,10 @@ def _moment_weights() -> np.ndarray:
 def ic_angle_from_patches(patches: jnp.ndarray, valid: jnp.ndarray):
     """Intensity-centroid angle from pre-extracted RAW-image patches:
     one (N, 961) x (961, 2) matmul. Bit-identical to ic_angle()."""
-    w = jnp.asarray(_moment_weights())
-    m = jnp.dot(patches.reshape(patches.shape[0], -1), w,
+    w = jnp.asarray(_moment_weights(), jnp.bfloat16)
+    # bf16 is exact here: pixels are integers <= 255, weights integers
+    # <= 15; MXU products are exact and accumulate in f32 (sums < 2^24).
+    m = jnp.dot(patches.reshape(patches.shape[0], -1).astype(jnp.bfloat16), w,
                 preferred_element_type=jnp.float32)  # (N, 2) [m10, m01]
     return jnp.where(valid, jnp.arctan2(m[:, 1], m[:, 0]), 0.0)
 
@@ -175,10 +177,15 @@ def extract_patches(img: jnp.ndarray, uv: jnp.ndarray, half: int = HALF_PATCH) -
     y0 = jnp.round(uv[:, 1]).astype(jnp.int32)
     ys = jnp.clip(y0[:, None] + offs[None, :], 0, h - 1)  # (N, P)
     xs = jnp.clip(x0[:, None] + offs[None, :], 0, w - 1)
-    er = (ys[:, :, None] == jnp.arange(h, dtype=jnp.int32)[None, None, :]).astype(img.dtype)
-    rows = jnp.einsum("nrh,hw->nrw", er, img, preferred_element_type=jnp.float32)
-    ec = (xs[:, :, None] == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(img.dtype)
-    return jnp.einsum("nrw,ncw->nrc", rows, ec, preferred_element_type=jnp.float32)
+    # bf16 one-hot selection is exact for integer-valued images (the
+    # pyramid is integer-valued; see image_ops.build_pyramid) and runs at
+    # full MXU rate.
+    er = (ys[:, :, None] == jnp.arange(h, dtype=jnp.int32)[None, None, :]).astype(jnp.bfloat16)
+    rows = jnp.einsum("nrh,hw->nrw", er, img.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    ec = (xs[:, :, None] == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(jnp.bfloat16)
+    return jnp.einsum("nrw,ncw->nrc", rows.astype(jnp.bfloat16), ec,
+                      preferred_element_type=jnp.float32)
 
 
 BLUR_PAD = 3  # 7x7 gaussian half-width
@@ -195,7 +202,10 @@ def blur_patches(patches: jnp.ndarray) -> jnp.ndarray:
 
     k = jnp.asarray(gaussian_kernel1d(7, 2.0))
     out = _conv1d_axis(patches, k, axis=1)
-    return _conv1d_axis(out, k, axis=2)
+    # Round like the reference's CV_8U GaussianBlur output
+    # (ORBextractor.cc:1105); integer values keep the bf16 BRIEF
+    # sampling matmul exact.
+    return jnp.round(_conv1d_axis(out, k, axis=2))
 
 
 @functools.lru_cache()
@@ -230,8 +240,10 @@ def binned_brief(patches: jnp.ndarray, angle: jnp.ndarray, valid: jnp.ndarray):
 
     Equals steered_brief(img, uv, bin_center_angle, valid) exactly."""
     n = patches.shape[0]
-    S = jnp.asarray(_binned_sampling_matrix())  # (961, 32*512) one-hot f32
-    flat = patches.reshape(n, _PATCH * _PATCH)
+    S = jnp.asarray(_binned_sampling_matrix(), jnp.bfloat16)  # one-hot
+    flat = patches.reshape(n, _PATCH * _PATCH).astype(jnp.bfloat16)
+    # One-hot selection of integer-valued (rounded-blur) patches: exact
+    # in bf16, 4x the f32 MXU rate on this (N, 961) x (961, 16384) GEMM.
     samples = jnp.dot(flat, S, preferred_element_type=jnp.float32)
     samples = samples.reshape(n, N_ANGLE_BINS, N_BITS * 2)
     b = quantize_angle(angle)

@@ -7,6 +7,9 @@ Times lax.scan'd variants of the per-frame path to localize cost:
   full         — the complete scan_tracker step (bench.py's program)
 """
 
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import time
 
 import numpy as np

@@ -17,7 +17,10 @@ from orb_slam2_ssd_semantic_tpu.ops.orb_descriptor import (
 
 def textured(rng, h=200, w=240):
     base = rng.uniform(0, 255, size=(h // 8, w // 8)).astype(np.float32)
-    return np.asarray(image_ops.resize_bilinear(jnp.asarray(base), h, w))
+    # Integer-valued, like every real input (uint8 frames, the rounded
+    # pyramid): the fast paths' bf16 one-hot matmuls are exact exactly
+    # on this domain.
+    return np.round(np.asarray(image_ops.resize_bilinear(jnp.asarray(base), h, w)))
 
 
 def keypoints(rng, n, h, w, margin=20):
@@ -51,7 +54,7 @@ def test_binned_brief_matches_steered_at_bin_centers(rng):
     """At bin-center angles the fast path must equal steered_brief bit
     for bit (both use rotate-then-round one-hot sampling)."""
     img = jnp.asarray(textured(rng))
-    blurred = image_ops.gaussian_blur(img, 7, 2.0)
+    blurred = jnp.round(image_ops.gaussian_blur(img, 7, 2.0))
     uv, valid = keypoints(rng, 48, *img.shape)
     bins = jnp.asarray(np.arange(48) % N_ANGLE_BINS, jnp.int32)
     ang = bins.astype(jnp.float32) * (2.0 * np.pi / N_ANGLE_BINS)
@@ -75,7 +78,7 @@ def test_binned_brief_rotation_invariance(rng):
     uv = jnp.asarray([[64.0, 64.0], [56.0, 70.0], [72.0, 58.0]])
     valid = jnp.asarray([True, True, True])
     ang = ic_angle(j, uv, valid)
-    p0 = extract_patches(image_ops.gaussian_blur(j, 7, 2.0), uv)
+    p0 = extract_patches(jnp.round(image_ops.gaussian_blur(j, 7, 2.0)), uv)
     d0 = np.asarray(binned_brief(p0, ang, valid))
 
     imr = np.rot90(img, k=1).copy()
@@ -83,7 +86,7 @@ def test_binned_brief_rotation_invariance(rng):
     h = img.shape[0]
     uv_r = jnp.stack([uv[:, 1], (h - 1) - uv[:, 0]], axis=-1)
     ang_r = ic_angle(jr, uv_r, valid)
-    p1 = extract_patches(image_ops.gaussian_blur(jr, 7, 2.0), uv_r)
+    p1 = extract_patches(jnp.round(image_ops.gaussian_blur(jr, 7, 2.0)), uv_r)
     d1 = np.asarray(binned_brief(p1, ang_r, valid))
 
     x = np.bitwise_xor(d0, d1)
@@ -96,7 +99,7 @@ def test_blur_patches_matches_full_image_blur(rng):
 
     img = jnp.asarray(textured(rng))
     uv, valid = keypoints(rng, 24, *img.shape, margin=25)
-    full = image_ops.gaussian_blur(img, 7, 2.0)
+    full = jnp.round(image_ops.gaussian_blur(img, 7, 2.0))
     ref = extract_patches(full, uv)  # 31x31 from the full-image blur
     padded = extract_patches(img, uv, half=15 + BLUR_PAD)
     got = blur_patches(padded)
