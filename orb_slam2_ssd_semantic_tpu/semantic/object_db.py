@@ -108,6 +108,40 @@ def add_objects(
     return db
 
 
+def save_objects_txt(path: str, db: ObjectDB) -> None:
+    """Text dump of the semantic database, one object per line
+    (class centroid_xyz size_xyz prob observations) — the persistent
+    analogue of the reference's objectD.txt / object_loc.txt console
+    dumps (the reference never persists ObjectDatabase; SURVEY.md §5)."""
+    lines = []
+    for o in summarize(db):
+        c, s = o["centroid"], o["size"]
+        lines.append(
+            f"{o['class']} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f} "
+            f"{s[0]:.4f} {s[1]:.4f} {s[2]:.4f} {o['prob']:.3f} {o['observations']}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def save_db(path: str, db: ObjectDB) -> None:
+    """Binary save of the full object database (npz columnar dump)."""
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in db._asdict().items()})
+
+
+def load_db(path: str) -> ObjectDB:
+    with np.load(path) as z:
+        return ObjectDB(
+            centroid=jnp.asarray(z["centroid"]),
+            size=jnp.asarray(z["size"]),
+            prob=jnp.asarray(z["prob"]),
+            class_id=jnp.asarray(z["class_id"]),
+            n_merged=jnp.asarray(z["n_merged"]),
+            valid=jnp.asarray(z["valid"]),
+            cursor=jnp.int32(int(z["cursor"])),
+        )
+
+
 def summarize(db: ObjectDB) -> list:
     """Host-side dump, the analogue of the reference's objectD.txt
     console listing."""

@@ -321,6 +321,23 @@ class SlamSystem:
 
         return summarize(self.object_db) if self.object_db is not None else []
 
+    def save_objects(self, path: str):
+        """Persist the semantic object database: `path` (npz columnar dump)
+        plus `path + '.txt'` (objectD.txt-style listing)."""
+        from orb_slam2_ssd_semantic_tpu.semantic.object_db import (
+            save_db,
+            save_objects_txt,
+        )
+
+        assert self.object_db is not None, "semantics not enabled"
+        save_db(path, self.object_db)
+        save_objects_txt(path + ".txt", self.object_db)
+
+    def load_objects(self, path: str):
+        from orb_slam2_ssd_semantic_tpu.semantic.object_db import load_db
+
+        self.object_db = load_db(path)
+
 
 def rgb_to_gray_np(rgb: np.ndarray) -> np.ndarray:
     from orb_slam2_ssd_semantic_tpu.io.tum import rgb_to_gray

@@ -145,3 +145,34 @@ def test_detect_locate_app_runs(tmp_path):
         np.save(tmp_path / f"depth_{i}.npy", depth)
     db = detect_locate.main(["--frames", "2", "--source", str(tmp_path)])
     assert db is not None
+
+
+def test_object_db_save_load_roundtrip(tmp_path):
+    """Object-database persistence: npz roundtrip preserves all columns;
+    the txt dump matches the objectD.txt-style listing."""
+    from orb_slam2_ssd_semantic_tpu.semantic.object_db import (
+        load_db,
+        save_db,
+        save_objects_txt,
+    )
+
+    db = empty_db(8)
+    c = jnp.asarray([[1.0, 0.0, 2.0], [4.0, 1.0, 3.0]])
+    s = jnp.ones((2, 3), jnp.float32) * 0.3
+    db = add_objects(
+        db, c, s, jnp.asarray([0.8, 0.7]), jnp.asarray([9, 15], jnp.int32),
+        jnp.ones(2, bool),
+    )
+    path = str(tmp_path / "objects.npz")
+    save_db(path, db)
+    db2 = load_db(path)
+    assert int(db2.cursor) == int(db.cursor)
+    np.testing.assert_allclose(np.asarray(db2.centroid), np.asarray(db.centroid))
+    assert summarize(db2) == summarize(db)
+
+    txt = str(tmp_path / "objectD.txt")
+    save_objects_txt(txt, db2)
+    lines = open(txt).read().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split()[0] == "chair"
+    assert lines[1].split()[0] == "person"
