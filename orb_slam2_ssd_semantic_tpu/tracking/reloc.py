@@ -11,7 +11,10 @@ Where the reference runs EPnP inside per-candidate RANSAC loops
 2D-3D problem becomes 3D-3D rigid alignment — solved by the batched
 Horn RANSAC (geometry/ransac3d.py) with every hypothesis scored at
 once — followed by the standard pose_optimize refinement on the
-reprojection residuals.
+reprojection residuals. Monocular frames carry no keypoint depth, so
+they take the true 2D-3D path: batched EPnP RANSAC (geometry/epnp.py)
+against the candidate keyframe's map points, exactly the reference's
+PnPsolver::iterate role (Tracking.cc:2760-2790).
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.geometry.epnp import ransac_epnp
 from orb_slam2_ssd_semantic_tpu.geometry.ransac3d import ransac_rigid
 from orb_slam2_ssd_semantic_tpu.mapping import place_recognition as pr
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
@@ -63,6 +67,9 @@ def relocalize(
     pf = cam_ops.backproject(frame.feats.uv, frame.kp_depth, cam)
     vf = frame.feats.valid & frame.is_stereo
     sf = scale_factors(cfg.orb)
+    # Monocular frames have no keypoint depth: 3D-3D alignment is
+    # impossible, so fall back to true 2D-3D EPnP against map points.
+    use_epnp = int(np.sum(np.asarray(vf))) < 3 * cfg.loop.sim3_min_inliers
 
     best = (False, jnp.eye(4, dtype=jnp.float32), 0)
     for c in range(len(ids)):
@@ -70,23 +77,38 @@ def relocalize(
             continue
         kf = int(ids[c])
         dk = state.kfs.desc[kf]
-        vk = state.kfs.kp_valid[kf] & (state.kfs.depth[kf] > 0)
         dist = match_ops.hamming_matrix(frame.feats.desc, dk)
-        m = match_ops.masked_best_match(
-            dist, vf[:, None] & vk[None, :], max_dist=match_ops.TH_LOW,
-            ratio=0.75, mutual=True,
-        )
-        # Frame keypoints' 3D (frame camera) vs matched KF keypoints' 3D
-        # (world, via the KF pose and depth).
-        pk_cam = cam_ops.backproject(state.kfs.uv[kf], state.kfs.depth[kf], cam)
-        T_wk = se3.se3_inverse(state.kfs.T_cw[kf])
-        pk_world = se3.transform_points(T_wk, pk_cam)
-        tgt = jnp.clip(m.idx, 0, pk_world.shape[0] - 1)
-        # dst = frame-camera points, src = world points -> T_cw estimate.
-        s, R, t, inl, n_inl = ransac_rigid(
-            pk_world[tgt], pf, m.valid, jax.random.PRNGKey(kf),
-            threshold=0.10, with_scale=False,
-        )
+        if use_epnp:
+            pid = state.kfs.kp_point[kf]
+            vk = state.kfs.kp_valid[kf] & (pid >= 0)
+            m = match_ops.masked_best_match(
+                dist, frame.feats.valid[:, None] & vk[None, :],
+                max_dist=match_ops.TH_LOW, ratio=0.75, mutual=True,
+            )
+            tgt = jnp.clip(m.idx, 0, pid.shape[0] - 1)
+            pk_world = state.points.pos[
+                jnp.clip(pid, 0, state.points.pos.shape[0] - 1)][tgt]
+            R, t, inl, n_inl = ransac_epnp(
+                pk_world, frame.feats.uv, m.valid, jax.random.PRNGKey(kf), cam,
+            )
+        else:
+            vk = state.kfs.kp_valid[kf] & (state.kfs.depth[kf] > 0)
+            m = match_ops.masked_best_match(
+                dist, vf[:, None] & vk[None, :], max_dist=match_ops.TH_LOW,
+                ratio=0.75, mutual=True,
+            )
+            # Frame keypoints' 3D (frame camera) vs matched KF keypoints'
+            # 3D (world, via the KF pose and depth).
+            pk_cam = cam_ops.backproject(state.kfs.uv[kf], state.kfs.depth[kf], cam)
+            T_wk = se3.se3_inverse(state.kfs.T_cw[kf])
+            pk_world_all = se3.transform_points(T_wk, pk_cam)
+            tgt = jnp.clip(m.idx, 0, pk_world_all.shape[0] - 1)
+            pk_world = pk_world_all[tgt]
+            # dst = frame-camera points, src = world points -> T_cw estimate.
+            s, R, t, inl, n_inl = ransac_rigid(
+                pk_world, pf, m.valid, jax.random.PRNGKey(kf),
+                threshold=0.10, with_scale=False,
+            )
         if int(n_inl) < cfg.loop.sim3_min_inliers:
             continue
         T0 = jnp.eye(4, dtype=jnp.float32).at[:3, :3].set(R).at[:3, 3].set(t)
@@ -94,7 +116,7 @@ def relocalize(
         # Reprojection refinement on the matched pairs.
         inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level, 0, sf.shape[0] - 1)] ** 2)
         res = pose_optimize(
-            T0, pk_world[tgt], frame.obs_uvr, inv_sigma2,
+            T0, pk_world, frame.obs_uvr, inv_sigma2,
             frame.is_stereo, m.valid & inl, cam, cfg.optimizer,
         )
         n = int(res.num_inliers)
