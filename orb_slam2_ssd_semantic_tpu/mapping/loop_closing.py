@@ -9,7 +9,9 @@ LoopClosing.cc:55-826), sequenced per new keyframe:
      consecutive detections of the same region (3, LoopClosing.h:52).
   2. ComputeSim3: descriptor matching new KF <-> candidate, 3D-3D
      RANSAC rigid alignment from the keyframes' depth (scale fixed for
-     RGB-D as in Sim3Solver), accept at >= sim3_min_inliers.
+     RGB-D as in Sim3Solver), then bidirectional-reprojection Sim3
+     refinement (OptimizeSim3 equivalent, mapping/sim3_opt.py), accept
+     at >= sim3_min_inliers.
   3. CorrectLoop: add the loop edge and run the batched SE(3) pose-graph
      optimization over spanning + strong-covisibility + loop edges
      (OptimizeEssentialGraph equivalent), then rigidly carry each map
@@ -41,6 +43,8 @@ from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
     build_graph_arrays,
     optimize_pose_graph,
 )
+from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
+from orb_slam2_ssd_semantic_tpu.mapping.sim3_opt import optimize_sim3
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
 
 
@@ -189,11 +193,24 @@ class LoopCloser:
         n = int(n_inl)
         if n < cfg.loop.sim3_min_inliers:
             return False, None, n
+        # Bidirectional-reprojection refinement of the RANSAC seed
+        # (OptimizeSim3, Optimizer.cc:1310; scale frozen for RGB-D).
+        sf = scale_factors(cfg.orb)
+        isig_i = 1.0 / (sf[jnp.clip(state.kfs.level[cand], 0, sf.shape[0] - 1)] ** 2)
+        isig_j = 1.0 / (sf[jnp.clip(state.kfs.level[kf_id], 0, sf.shape[0] - 1)] ** 2)
+        res = optimize_sim3(
+            s, R, t, src, dst,
+            state.kfs.uv[cand], state.kfs.uv[kf_id][tgt],
+            isig_i, isig_j[tgt], m.valid & inl, cam, fix_scale=True,
+        )
+        n = int(res.num_inliers)
+        if n < cfg.loop.sim3_min_inliers:
+            return False, None, n
         # T_j_from_i in camera frames: p_j = R p_i + t ->
         # loop constraint T_ji = T_j_cw @ inv(T_i_cw) measured = [R | t].
         T_ji = np.eye(4, dtype=np.float32)
-        T_ji[:3, :3] = np.asarray(R)
-        T_ji[:3, 3] = np.asarray(t)
+        T_ji[:3, :3] = np.asarray(res.R)
+        T_ji[:3, 3] = np.asarray(res.t)
         return True, jnp.asarray(T_ji), n
 
     # ---- correction -------------------------------------------------------
