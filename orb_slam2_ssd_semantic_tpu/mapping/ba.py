@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
-from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3, pcg_solve
 
 
 class BAProblem(NamedTuple):
@@ -121,6 +121,16 @@ def local_bundle_adjust(
     ]
     free_pose = (~prob.fixed).astype(jnp.float32)  # (W,)
 
+    # Observation->point incidence as a one-hot matrix, built ONCE per
+    # call (the slot layout is constant across GN iterations). All
+    # per-point accumulations become MXU matmuls against it — scatter-add
+    # serializes on TPU (~25 ms/iteration at this size), the one-hot
+    # GEMMs are bandwidth-bound reads (~1 ms).
+    slot = jnp.clip(prob.point_slot, 0, N - 1)
+    onehot = (
+        (slot[..., None] == jnp.arange(N, dtype=slot.dtype)) & obs_valid[..., None]
+    ).astype(jnp.float32)  # (W, K, N)
+
     def gn_step(T_cw, points, inlier_w, use_huber):
         e, J_pose, J_point, behind = _residuals(T_cw, points, prob, cam)
         w = prob.inv_sigma2 * inlier_w * (~behind)
@@ -134,46 +144,54 @@ def local_bundle_adjust(
 
         # Pose blocks exclude fixed keyframes.
         Jp = J_pose * free_pose[:, None, None, None]
-        slot = jnp.clip(prob.point_slot, 0, N - 1)
 
         Hcc = jnp.einsum("wkri,wkr,wkrj->wij", Jp, wc, Jp)  # (W, 6, 6)
         b_c = -jnp.einsum("wkri,wkr->wi", Jp, wc * e)  # (W, 6)
 
-        # Point blocks: scatter-add over local slots.
+        # Per-observation blocks, flattened for the incidence GEMMs.
         Hpp_flat = jnp.einsum("wkri,wkr,wkrj->wkij", J_point, wc, J_point)
         b_p_flat = -jnp.einsum("wkri,wkr->wki", J_point, wc * e)
-        Hpp = jnp.zeros((N, 3, 3), jnp.float32).at[slot.reshape(-1)].add(
-            Hpp_flat.reshape(-1, 3, 3)
-        )
-        b_p = jnp.zeros((N, 3), jnp.float32).at[slot.reshape(-1)].add(
-            b_p_flat.reshape(-1, 3)
-        )
-
-        # Camera-point coupling, dense over (W, N).
         Hcp_flat = jnp.einsum("wkri,wkr,wkrj->wkij", Jp, wc, J_point)  # (W,K,6,3)
-        Hcp = jnp.zeros((W, N, 6, 3), jnp.float32).at[
-            jnp.arange(W)[:, None].repeat(K, 1).reshape(-1), slot.reshape(-1)
-        ].add(Hcp_flat.reshape(-1, 6, 3))
+
+        # Point reductions: one (N, W*K) x (W*K, 12) GEMM.
+        pp12 = jnp.concatenate(
+            [Hpp_flat.reshape(W, K, 9), b_p_flat], axis=-1
+        ).reshape(W * K, 12)
+        red = onehot.reshape(W * K, N).T @ pp12  # (N, 12)
+        Hpp = red[:, :9].reshape(N, 3, 3)
+        b_p = red[:, 9:]
+
+        # Camera-point coupling: W batched (N, K) x (K, 18) GEMMs.
+        Hcp = jnp.einsum(
+            "wkn,wkf->wnf", onehot, Hcp_flat.reshape(W, K, 18)
+        ).reshape(W, N, 6, 3)
 
         # Damped point-block inverse.
         lam = jnp.float32(cfg.lm_lambda_init)
         Hpp = Hpp + (lam + 1e-6) * jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
         Hpp_inv = inv3x3(Hpp)
 
-        # Reduced camera system.
-        S = -jnp.einsum("wnab,nbc,vndc->wvad", Hcp, Hpp_inv, Hcp)
-        S = S.at[jnp.arange(W), jnp.arange(W)].add(Hcc)
-        rhs = b_c - jnp.einsum("wnab,nbc,nc->wa", Hcp, Hpp_inv, b_p)
+        # Reduced camera system: S = Hcc - A Hcp' with A = Hcp Hpp^-1,
+        # contracted as ONE (6W, 3N) x (3N, 6W) MXU matmul.
+        A = jnp.einsum("wnab,nbc->wnac", Hcp, Hpp_inv)  # (W, N, 6, 3)
+        A2 = A.transpose(0, 2, 1, 3).reshape(6 * W, 3 * N)
+        Hcp2 = Hcp.transpose(0, 2, 1, 3).reshape(6 * W, 3 * N)
+        S_mat = -(A2 @ Hcp2.T)  # (6W, 6W)
+        Sblk = S_mat.reshape(W, 6, W, 6)
+        Sblk = Sblk.at[jnp.arange(W), :, jnp.arange(W), :].add(Hcc)
+        S_mat = Sblk.reshape(6 * W, 6 * W)
+        rhs = b_c - (A2 @ b_p.reshape(-1)).reshape(W, 6)
 
-        S_mat = S.transpose(0, 2, 1, 3).reshape(6 * W, 6 * W)
         # Gauge: identity rows for fixed poses keep the system well-posed.
         fixed_diag = jnp.repeat(prob.fixed, 6)
         S_mat = S_mat + jnp.diag(fixed_diag.astype(jnp.float32) + 1e-5)
-        dx_c = jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(W, 6)
+        # Jacobi-PCG instead of LU: the 6Wx6W solve is latency-bound
+        # sequential work on TPU, and GN tolerates the inexact step.
+        dx_c = pcg_solve(S_mat, rhs.reshape(-1), iters=32).reshape(W, 6)
         dx_c = dx_c * free_pose[:, None]
 
         # Back-substitute points: dx_p = Hpp^-1 (b_p - Hcp' dx_c).
-        corr = jnp.einsum("wnab,wa->nb", Hcp, dx_c)
+        corr = (dx_c.reshape(-1) @ Hcp2).reshape(N, 3)
         dx_p = jnp.einsum("nbc,nc->nb", Hpp_inv, b_p - corr)
         dx_p = dx_p * prob.point_valid[:, None]
 

@@ -27,6 +27,7 @@ from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
 from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3
 
 
 class TriangulationResult(NamedTuple):
@@ -97,12 +98,16 @@ def triangulate_pair(
         ],
         axis=1,
     )  # (K, 4, 4)
-    # Null vector via eigh of A^T A (batched, SVD-free).
-    M = jnp.einsum("kij,kil->kjl", A, A)
-    _, vecs = jnp.linalg.eigh(M)
-    Xh = vecs[..., 0]
-    w = jnp.where(jnp.abs(Xh[:, 3]) < 1e-9, 1e-9, Xh[:, 3])
-    X = Xh[:, :3] / w[:, None]  # (K, 3) world points
+    # Inhomogeneous DLT: solve A[:, :3] X = -A[:, 3] by 3x3 normal
+    # equations (closed-form inverse — batched eigh of the homogeneous
+    # system is iterative and ~10x slower on TPU; finite points are
+    # equivalent and the cheirality/reprojection gates below reject the
+    # near-infinity cases both formulations struggle with).
+    A3 = A[..., :3]  # (K, 4, 3)
+    b3 = -A[..., 3]  # (K, 4)
+    M = jnp.einsum("kij,kil->kjl", A3, A3) + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    rhs3 = jnp.einsum("kij,ki->kj", A3, b3)
+    X = jnp.einsum("kij,kj->ki", inv3x3(M), rhs3)  # (K, 3) world points
 
     # Checks (LocalMapping.cc:497-620).
     p1 = se3.transform_points(T1_cw, X)

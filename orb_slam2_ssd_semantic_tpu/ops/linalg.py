@@ -46,6 +46,38 @@ def cholesky_solve_small(H: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12) -> 
     return jnp.stack(x, axis=-1)
 
 
+def pcg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+    """Jacobi-preconditioned conjugate gradients for one SPD system.
+
+    For mid-size dense SPD systems (e.g. the 6Wx6W reduced camera system
+    in local BA) XLA's LU/Cholesky are long sequential dependency chains
+    on TPU; CG is `iters` tiny matvecs instead, and Gauss-Newton steps
+    tolerate the inexact solve. Fixed iteration count keeps it jittable.
+    """
+    import jax
+
+    dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(A)), 1e-12)
+    x = jnp.zeros_like(b)
+    r = b
+    z = dinv * r
+    p = z
+    rz = r @ z
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = A @ p
+        alpha = rz / jnp.maximum(p @ Ap, 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = dinv * r
+        rz_new = r @ z
+        p = z + (rz_new / jnp.maximum(rz, 1e-20)) * p
+        return x, r, p, rz_new
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
 def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse via the adjugate (avoids XLA's
     generic batched-LU path for (N, 3, 3) stacks)."""
