@@ -51,27 +51,35 @@ def fast_score_map(img: jnp.ndarray, border: int = 3) -> jnp.ndarray:
     at threshold 1 (i.e. score < 1). Use `score >= th` to test a corner
     at threshold `th` — one score map serves both iniThFAST and
     minThFAST gates.
+
+    Internals run in int16 (center differences of 8-bit images fit
+    exactly; half the HBM traffic of f32) with log-doubling cyclic arc
+    minima (4 passes instead of 8).
     """
-    circ = _circle_stack(img)  # (16, H, W)
-    d = circ - img[None]  # neighbor minus center
+    circ = _circle_stack(jnp.round(img).astype(jnp.int16))  # (16, H, W)
+    d = circ - jnp.round(img).astype(jnp.int16)[None]  # neighbor - center
 
     # For each of the 16 starting positions, the min over the 9-long arc of
     # (neighbor - center) [bright arcs] and (center - neighbor) [dark arcs].
     # A pixel is a corner at threshold t iff max_arc min_arc |d| > t for a
-    # consistently-signed arc; its score is that max-min value.
-    def arc_min(x):
-        # x: (16, H, W) -> (16, H, W) where out[s] = min(x[s], ..., x[s+8]) cyclic.
-        out = x
-        rolled = x
-        for _ in range(ARC_LEN - 1):
-            rolled = jnp.roll(rolled, -1, axis=0)
-            out = jnp.minimum(out, rolled)
-        return out
+    # consistently-signed arc; its score is that max-min value. The
+    # bright and dark scans share work through min/max duality:
+    # min over arc of (-d) == -(max over arc of d).
+    def arc_minmax(x):
+        # Log-doubling: runs of 2, 4, 8, then 8+1 -> 9 (cyclic over 16).
+        mn = mx = x
+        for shift in (1, 2, 4):
+            rolled_mn = jnp.roll(mn, -shift, axis=0)
+            rolled_mx = jnp.roll(mx, -shift, axis=0)
+            mn = jnp.minimum(mn, rolled_mn)
+            mx = jnp.maximum(mx, rolled_mx)
+        last = jnp.roll(x, -(ARC_LEN - 1), axis=0)
+        return jnp.minimum(mn, last), jnp.maximum(mx, last)
 
-    bright = arc_min(d).max(axis=0)  # score for bright arcs (could be <= 0)
-    dark = arc_min(-d).max(axis=0)  # score for dark arcs
-    score = jnp.maximum(bright, dark)
-    score = jnp.maximum(score, 0.0)
+    mn9, mx9 = arc_minmax(d)
+    bright = mn9.max(axis=0)  # max over arcs of (min over arc of d)
+    dark = (-mx9).max(axis=0)  # == max over arcs of min of (-d)
+    score = jnp.maximum(jnp.maximum(bright, dark), 0).astype(jnp.float32)
 
     # Kill the border (circle taps are invalid there).
     h, w = img.shape
