@@ -45,7 +45,7 @@ from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig, Sla
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
-from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols
 
 
 class GlobalBAProblem(NamedTuple):
@@ -74,38 +74,80 @@ class GlobalBAResult(NamedTuple):
     chi2: jnp.ndarray  # (M,)
 
 
-def _residuals(T_cw, points, prob: GlobalBAProblem, cam: CameraConfig):
-    """Per-observation residual e (M,3), pose Jacobian (M,3,6), point
-    Jacobian (M,3,3), and behind-camera mask (M,)."""
-    Tk = T_cw[prob.obs_kf]  # (M, 4, 4)
-    X = points[prob.obs_pt]  # (M, 3)
-    R = Tk[:, :3, :3]
-    p = jnp.einsum("mij,mj->mi", R, X) + Tk[:, :3, 3]
-    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+def _residual_components(T_cw, points, prob: GlobalBAProblem, cam: CameraConfig):
+    """Per-observation residuals/Jacobians as COMPONENT VECTORS: plain
+    Python lists of (M,) arrays instead of (M, 3, 6)-style tensors.
+
+    Why: TPU tiles the two minormost dims of every buffer to (8, 128).
+    A materialized (M, 3, 6) Jacobian (or any layout XLA picks for a
+    small-dim dot_general output) pads 28x — 9.8 GB of HLO temps at the
+    10k-keyframe benchmark's M=2.56M, an instant OOM. Component lists
+    keep every array exactly (M,), every op an elementwise fusion, and
+    the only 2-D buffers are the (36/18/9, M) scatter operands whose
+    minor axis is M.
+
+    Returns (e [3 x (M,)], J_pose [3][6 x (M,)], J_point [3][3 x (M,)],
+    behind (M,))."""
+    kf, pt = prob.obs_kf, prob.obs_pt
+    # Rotation/translation components gathered per observation: 12 (M,)
+    # gathers from (F,) columns.
+    Rg = [[T_cw[:, i, j][kf] for j in range(3)] for i in range(3)]
+    tg = [T_cw[:, i, 3][kf] for i in range(3)]
+    X = [points[:, j][pt] for j in range(3)]
+    p = [sum(Rg[i][j] * X[j] for j in range(3)) + tg[i] for i in range(3)]
+    x, y, z = p
     z_safe = jnp.where(z > 1e-6, z, 1e-6)
     iz = 1.0 / z_safe
     iz2 = iz * iz
+    zeros = jnp.zeros_like(iz)
 
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
     ur = u - cam.depth_bf * iz
-    e = jnp.stack([u, v, ur], axis=-1) - prob.obs_uvr
-
-    zeros = jnp.zeros_like(iz)
-    du = jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1)
-    dv = jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
-    dur = du + jnp.stack([zeros, zeros, cam.depth_bf * iz2], axis=-1)
-    duvr_dp = jnp.stack([du, dv, dur], axis=-2)  # (M, 3, 3)
-
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), p.shape[:-1] + (3, 3))
-    dp_dxi = jnp.concatenate([eye, -se3.hat(p)], axis=-1)  # (M, 3, 6)
-    J_pose = duvr_dp @ dp_dxi
-    J_point = duvr_dp @ R
-    behind = z <= 1e-6
+    dead = (z <= 1e-6) | (~prob.obs_valid)
     # Zero dead residuals: behind-camera projections overflow f32, and
     # 0-weight * inf residual = NaN downstream.
-    e = jnp.where(behind[:, None] | (~prob.obs_valid[:, None]), 0.0, e)
+    e = [
+        jnp.where(dead, 0.0, u - prob.obs_uvr[:, 0]),
+        jnp.where(dead, 0.0, v - prob.obs_uvr[:, 1]),
+        jnp.where(dead, 0.0, ur - prob.obs_uvr[:, 2]),
+    ]
+
+    # d(u,v,ur)/dp rows.
+    du = [cam.fx * iz, zeros, -cam.fx * x * iz2]
+    dv = [zeros, cam.fy * iz, -cam.fy * y * iz2]
+    dur = [du[0], du[1], du[2] + cam.depth_bf * iz2]
+    duvr = [du, dv, dur]  # [row r][col k] -> (M,)
+
+    # dp/dxi = [I | -hat(p)] columns (translation-first left perturbation).
+    hat = [
+        [zeros, -z, y],
+        [z, zeros, -x],
+        [-y, x, zeros],
+    ]
+    ones = jnp.ones_like(iz)
+    eye = [[ones if i == k else zeros for i in range(3)] for k in range(3)]
+    dp_dxi = [
+        [eye[k][0], eye[k][1], eye[k][2], -hat[k][0], -hat[k][1], -hat[k][2]]
+        for k in range(3)
+    ]
+
+    J_pose = [
+        [sum(duvr[r][k] * dp_dxi[k][i] for k in range(3)) for i in range(6)]
+        for r in range(3)
+    ]
+    J_point = [
+        [sum(duvr[r][k] * Rg[k][i] for k in range(3)) for i in range(3)]
+        for r in range(3)
+    ]
+    behind = z <= 1e-6
     return e, J_pose, J_point, behind
+
+
+def _residuals(T_cw, points, prob: GlobalBAProblem, cam: CameraConfig):
+    """Stacked residuals e (3, M) + behind mask, for chi2 evaluation."""
+    e, _, _, behind = _residual_components(T_cw, points, prob, cam)
+    return jnp.stack(e, axis=0), behind
 
 
 def _psum(x, axis_name):
@@ -117,70 +159,92 @@ def _gn_direction(
     cg_iters: int, axis_name=None,
 ):
     """One Gauss-Newton direction (dx_c (F,6), dx_p (P,3)) for the
-    weighted problem. `wc` is the (M,3) per-component robust weight.
-    With `axis_name`, observation arrays are shard_map-sharded along M
-    and the segment-sums are reduced with psum."""
+    weighted problem. `e`/`J_pose`/`J_point` are component lists from
+    _residual_components; `wc` is a 3-list of (M,) robust weights. With
+    `axis_name`, observation arrays are shard_map-sharded along M and
+    the segment-sums are reduced with psum.
+
+    Everything per-observation stays (M,) component vectors (see
+    _residual_components for the TPU-padding rationale); the only 2-D
+    observation buffers are the (36/18/9, M) scatter operands with M
+    minor, and the per-keyframe/point accumulators are tiny."""
     F = prob.T_cw.shape[0]
     P = prob.points.shape[0]
-
-    # Per-observation normal-equation blocks.
-    JtW_pose = J_pose * wc[:, :, None]  # (M, 3, 6) pre-weighted
-    Hcc_m = jnp.einsum("mri,mrj->mij", JtW_pose, J_pose)  # (M, 6, 6)
-    Hpp_m = jnp.einsum("mri,mr,mrj->mij", J_point, wc, J_point)  # (M, 3, 3)
-    B_m = jnp.einsum("mri,mrj->mij", JtW_pose, J_point)  # (M, 6, 3)
-    bc_m = -jnp.einsum("mri,mr->mi", JtW_pose, e)  # (M, 6)
-    bp_m = -jnp.einsum("mri,mr->mi", J_point, wc * e)  # (M, 3)
-
     kf = prob.obs_kf
     pt = prob.obs_pt
-    Hcc = _psum(jnp.zeros((F, 6, 6), jnp.float32).at[kf].add(Hcc_m), axis_name)
-    Hpp = _psum(jnp.zeros((P, 3, 3), jnp.float32).at[pt].add(Hpp_m), axis_name)
-    b_c = _psum(jnp.zeros((F, 6), jnp.float32).at[kf].add(bc_m), axis_name)
-    b_p = _psum(jnp.zeros((P, 3), jnp.float32).at[pt].add(bp_m), axis_name)
+
+    # Pre-weighted pose Jacobian rows.
+    JtW = [[J_pose[r][i] * wc[r] for i in range(6)] for r in range(3)]
+
+    def seg_sum(entries, idx, width):
+        """Stack (M,) entries -> scatter-add into (len(entries), width)."""
+        upd = jnp.stack(entries, axis=0)
+        return _psum(
+            jnp.zeros((len(entries), width), jnp.float32).at[:, idx].add(upd),
+            axis_name,
+        )
+
+    # Per-observation blocks as flat component lists.
+    Hcc_ij = [
+        sum(JtW[r][i] * J_pose[r][j] for r in range(3))
+        for i in range(6) for j in range(6)
+    ]
+    Hpp_ij = [
+        sum(J_point[r][i] * wc[r] * J_point[r][j] for r in range(3))
+        for i in range(3) for j in range(3)
+    ]
+    # Coupling blocks are reused by every CG matvec: keep the (18, M)
+    # stack resident (M minor — cheap).
+    B = [
+        [sum(JtW[r][i] * J_point[r][j] for r in range(3)) for j in range(3)]
+        for i in range(6)
+    ]
+    bc_i = [-sum(JtW[r][i] * e[r] for r in range(3)) for i in range(6)]
+    bp_i = [-sum(J_point[r][i] * wc[r] * e[r] for r in range(3)) for i in range(3)]
+
+    Hcc = seg_sum(Hcc_ij, kf, F).T.reshape(F, 6, 6)
+    Hpp_c = seg_sum(Hpp_ij, pt, P).reshape(3, 3, P)
+    b_c = seg_sum(bc_i, kf, F)  # (6, F)
+    b_p = seg_sum(bp_i, pt, P)  # (3, P)
 
     lam = jnp.float32(cfg.lm_lambda_init)
-    eye3 = jnp.eye(3, dtype=jnp.float32)
     # Marquardt scaling: damping proportional to the block diagonal keeps
     # poorly-observed blocks from taking unbounded steps, with an
     # absolute floor for empty blocks.
-    dpp = jnp.einsum("pii->p", Hpp)[:, None, None]
-    Hpp_inv = inv3x3(Hpp + (lam * dpp / 3.0 + 1e-6) * eye3)
+    dpp = (Hpp_c[0, 0] + Hpp_c[1, 1] + Hpp_c[2, 2])  # (P,)
+    damp = lam * dpp / 3.0 + 1e-6
+    for i in range(3):
+        Hpp_c = Hpp_c.at[i, i].add(damp)
+    Hpp_inv = inv3x3_cols(Hpp_c)  # (3, 3, P)
 
     # Gauge + damping on the camera blocks.
     eye6 = jnp.eye(6, dtype=jnp.float32)
     dcc = jnp.einsum("fii->f", Hcc)[:, None, None]
     Hcc = Hcc + (lam * dcc / 6.0 + 1e-5 + prob.fixed[:, None, None]) * eye6
 
-    def matvec(x):  # x: (F, 6) -> S x
-        t_p = _psum(
-            jnp.zeros((P, 3), jnp.float32).at[pt].add(
-                jnp.einsum("mij,mi->mj", B_m, x[kf])
-            ),
-            axis_name,
-        )
-        y_p = jnp.einsum("pij,pj->pi", Hpp_inv, t_p)
-        u_c = _psum(
-            jnp.zeros((F, 6), jnp.float32).at[kf].add(
-                jnp.einsum("mij,mj->mi", B_m, y_p[pt])
-            ),
-            axis_name,
-        )
-        return jnp.einsum("fij,fj->fi", Hcc, x) - u_c
+    def down_project(x):  # x: (6, F) -> Hpp^-1 Hcp^T x as (3, P)
+        xg = [x[i][kf] for i in range(6)]  # 6 x (M,)
+        t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
+        t_p = seg_sum(t_j, pt, P)  # (3, P)
+        return jnp.einsum("ijp,jp->ip", Hpp_inv, t_p)
+
+    def up_project(y_p):  # y_p: (3, P) -> Hcp y as (6, F)
+        yg = [y_p[j][pt] for j in range(3)]
+        u_i = [sum(B[i][j] * yg[j] for j in range(3)) for i in range(6)]
+        return seg_sum(u_i, kf, F)
+
+    def matvec(x):  # x: (6, F) -> S x in (6, F)
+        return jnp.einsum("fij,jf->if", Hcc, x) - up_project(down_project(x))
 
     # Reduced RHS: b_c - Hcp Hpp^-1 b_p.
-    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, b_p)
-    rhs = b_c - _psum(
-        jnp.zeros((F, 6), jnp.float32).at[kf].add(
-            jnp.einsum("mij,mj->mi", B_m, y0[pt])
-        ),
-        axis_name,
-    )
+    y0 = jnp.einsum("ijp,jp->ip", Hpp_inv, b_p)  # (3, P)
+    rhs = b_c - up_project(y0)
 
     # Block-Jacobi preconditioned CG on S dx_c = rhs.
     Minv = jnp.linalg.inv(Hcc)
-    prec = lambda r: jnp.einsum("fij,fj->fi", Minv, r)
+    prec = lambda r: jnp.einsum("fij,jf->if", Minv, r)
 
-    x = jnp.zeros((F, 6), jnp.float32)
+    x = jnp.zeros((6, F), jnp.float32)
     r = rhs
     zvec = prec(r)
     d = zvec
@@ -200,36 +264,34 @@ def _gn_direction(
         return (x, r, d, rz_new), None
 
     (x, _, _, _), _ = jax.lax.scan(cg_step, (x, r, d, rz), None, length=cg_iters)
-    dx_c = x * (~prob.fixed)[:, None]
+    x = x * (~prob.fixed)[None, :]
 
     # Back-substitute points: dx_p = Hpp^-1 (b_p - Hcp^T dx_c).
-    t_p = _psum(
-        jnp.zeros((P, 3), jnp.float32).at[pt].add(
-            jnp.einsum("mij,mi->mj", B_m, dx_c[kf])
-        ),
-        axis_name,
-    )
-    dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, b_p - t_p)
-    dx_p = dx_p * prob.point_valid[:, None]
-    return dx_c, dx_p
+    xg = [x[i][kf] for i in range(6)]
+    t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
+    t_p = seg_sum(t_j, pt, P)
+    dx_p = jnp.einsum("ijp,jp->ip", Hpp_inv, b_p - t_p)  # (3, P)
+    dx_p = dx_p * prob.point_valid[None, :]
+    return x.T, dx_p.T
 
 
 def _gn_iteration(
     T_cw, points, prob: GlobalBAProblem, cam: CameraConfig,
     cfg: OptimizerConfig, comp_w, delta, use_huber, cg_iters, axis_name=None,
 ):
-    e, J_pose, J_point, behind = _residuals(T_cw, points, prob, cam)
-    w = prob.inv_sigma2 * prob.obs_valid * (~behind)
-    chi = jnp.sum(e * e * comp_w, axis=-1) * prob.inv_sigma2
+    e, J_pose, J_point, behind = _residual_components(T_cw, points, prob, cam)
+    w = prob.inv_sigma2 * prob.obs_valid * (~behind)  # (M,)
+    chi = sum(e[r] * e[r] * comp_w[r] for r in range(3)) * prob.inv_sigma2
     rho = jnp.where(
         use_huber & (chi > delta * delta),
         delta / jnp.sqrt(jnp.maximum(chi, 1e-12)),
         1.0,
     )
-    wc = (w * rho)[:, None] * comp_w  # (M, 3)
+    wr = w * rho
+    wc = [wr * comp_w[r] for r in range(3)]  # 3 x (M,)
     # Fixed keyframes contribute to points but not to pose blocks.
     free = (~prob.fixed).astype(jnp.float32)[prob.obs_kf]
-    J_pose = J_pose * free[:, None, None]
+    J_pose = [[J_pose[r][i] * free for i in range(6)] for r in range(3)]
     dx_c, dx_p = _gn_direction(e, J_pose, J_point, wc, prob, cfg, cg_iters, axis_name)
     return se3.se3_exp(dx_c) @ T_cw, points + dx_p
 
@@ -245,10 +307,11 @@ def global_ba_core(
     of `prob` are one shard along M (inside shard_map) and all
     segment-sums reduce with psum — the distributed path
     (parallel/dist_ba.py)."""
+    # Component weights in batch-last layout (3, M).
     comp_w = jnp.where(
-        prob.is_stereo[:, None],
-        jnp.ones((1, 3), jnp.float32),
-        jnp.asarray([[1.0, 1.0, 0.0]], jnp.float32),
+        prob.is_stereo[None, :],
+        jnp.ones((3, 1), jnp.float32),
+        jnp.asarray([[1.0], [1.0], [0.0]], jnp.float32),
     )
     chi2_th = jnp.where(prob.is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
     delta = jnp.where(prob.is_stereo, cfg.huber_delta_stereo, cfg.huber_delta_mono)
@@ -278,8 +341,8 @@ def global_ba_core(
         body, (T_cw, points), None, length=cfg.global_ba_iters
     )
 
-    e, _, _, behind = _residuals(T_cw, points, prob, cam)
-    chi = jnp.sum(e * e * comp_w, axis=-1) * prob.inv_sigma2
+    e, behind = _residuals(T_cw, points, prob, cam)
+    chi = jnp.sum(e * e * comp_w, axis=0) * prob.inv_sigma2
     inlier = prob.obs_valid & (chi < chi2_th) & (~behind)
     return GlobalBAResult(T_cw, points, inlier, chi)
 

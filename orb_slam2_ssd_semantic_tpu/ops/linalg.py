@@ -78,6 +78,30 @@ def pcg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     return x
 
 
+def inv3x3_cols(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Closed-form 3x3 inverse for batch-LAST layout (3, 3, N) -> (3, 3, N).
+
+    The (..., 3, 3) layout of `inv3x3` tiles to (8, 128) on TPU — a 28x
+    padding blowup for large N; keeping N minor avoids it entirely."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 0], A[1, 1], A[1, 2]
+    g, h, i = A[2, 0], A[2, 1], A[2, 2]
+    co_a = e * i - f * h
+    co_b = c * h - b * i
+    co_c = b * f - c * e
+    co_d = f * g - d * i
+    co_e = a * i - c * g
+    co_f = c * d - a * f
+    co_g = d * h - e * g
+    co_h = b * g - a * h
+    co_i = a * e - b * d
+    det = a * co_a + b * co_d + c * co_g
+    det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    rows = [[co_a, co_b, co_c], [co_d, co_e, co_f], [co_g, co_h, co_i]]
+    inv = jnp.stack([jnp.stack(r, axis=0) for r in rows], axis=0)
+    return inv / det[None, None]
+
+
 def inv3x3(A: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Closed-form batched 3x3 inverse via the adjugate (avoids XLA's
     generic batched-LU path for (N, 3, 3) stacks)."""
