@@ -26,7 +26,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 F = int(os.environ.get("BENCH_BA_KFS", "10000"))
 P = int(os.environ.get("BENCH_BA_POINTS", "200000"))
-OBS_PER_KF = int(os.environ.get("BENCH_BA_OBS_PER_KF", "256"))
+# 128 tracked observations per keyframe (the reference's local maps carry
+# ~100-300 tracked points per frame). M = F*128 = 1.28M observations fits
+# one chip; beyond ~2M observations the single-chip program faults at
+# runtime — that regime is what the observation-sharded distributed BA
+# (parallel/dist_ba.py) is for.
+OBS_PER_KF = int(os.environ.get("BENCH_BA_OBS_PER_KF", "128"))
 CG_ITERS = int(os.environ.get("BENCH_BA_CG_ITERS", "20"))
 
 
@@ -112,14 +117,22 @@ def main():
     )
 
     def run():
-        res = global_bundle_adjust(prob, cam, opt, cg_iters=CG_ITERS)
-        jax.block_until_ready(res.T_cw)
+        res = global_bundle_adjust(
+            prob, cam, opt, cg_iters=CG_ITERS, obs_per_kf=OBS_PER_KF
+        )
+        # block_until_ready is a no-op through the remote-TPU relay;
+        # a (tiny) host fetch is what actually drains the execution.
+        np.asarray(res.T_cw[0])
         return res
 
     res = run()  # compile + warm
-    t0 = time.perf_counter()
-    res = run()
-    dt = time.perf_counter() - t0
+    # Remote-attached TPU: time several synced runs, keep the median.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
     ms_per_iter = dt * 1000.0 / opt.global_ba_iters
 
     err_t = np.linalg.norm(

@@ -45,7 +45,7 @@ from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig, Sla
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
-from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols
+from orb_slam2_ssd_semantic_tpu.ops.linalg import cholesky_solve_small, inv3x3_cols
 
 
 class GlobalBAProblem(NamedTuple):
@@ -89,11 +89,16 @@ def _residual_components(T_cw, points, prob: GlobalBAProblem, cam: CameraConfig)
     Returns (e [3 x (M,)], J_pose [3][6 x (M,)], J_point [3][3 x (M,)],
     behind (M,))."""
     kf, pt = prob.obs_kf, prob.obs_pt
-    # Rotation/translation components gathered per observation: 12 (M,)
-    # gathers from (F,) columns.
-    Rg = [[T_cw[:, i, j][kf] for j in range(3)] for i in range(3)]
-    tg = [T_cw[:, i, 3][kf] for i in range(3)]
-    X = [points[:, j][pt] for j in range(3)]
+    # Pose components per observation: ONE batched column-gather for all
+    # 12 components. Separate per-component gathers cost ~11 ms each at
+    # M=1.28M (index processing dominates); a (12, F) -> (12, M) column
+    # gather amortizes the index work 12x.
+    pose_cols = T_cw[:, :3, :].reshape(-1, 12).T  # (12, F), row i*4+j
+    g = pose_cols[:, kf]  # (12, M)
+    Rg = [[g[i * 4 + j] for j in range(3)] for i in range(3)]
+    tg = [g[i * 4 + 3] for i in range(3)]
+    Xg = points.T[:, pt]  # (3, M) one gather
+    X = [Xg[j] for j in range(3)]
     p = [sum(Rg[i][j] * X[j] for j in range(3)) + tg[i] for i in range(3)]
     x, y, z = p
     z_safe = jnp.where(z > 1e-6, z, 1e-6)
@@ -156,7 +161,7 @@ def _psum(x, axis_name):
 
 def _gn_direction(
     e, J_pose, J_point, wc, prob: GlobalBAProblem, cfg: OptimizerConfig,
-    cg_iters: int, axis_name=None,
+    cg_iters: int, axis_name=None, obs_per_kf=None, pt_perm=None,
 ):
     """One Gauss-Newton direction (dx_c (F,6), dx_p (P,3)) for the
     weighted problem. `e`/`J_pose`/`J_point` are component lists from
@@ -166,23 +171,52 @@ def _gn_direction(
 
     Everything per-observation stays (M,) component vectors (see
     _residual_components for the TPU-padding rationale); the only 2-D
-    observation buffers are the (36/18/9, M) scatter operands with M
-    minor, and the per-keyframe/point accumulators are tiny."""
+    observation buffers are (<=36, M) stacks with M minor, and the
+    per-keyframe/point accumulators are tiny.
+
+    Segment sums are the cost of this function: TPU scatter-add runs at
+    ~60M updates/s regardless of layout, so with `obs_per_kf` (static;
+    single-chip slot-structured problems where obs_kf = repeat(arange(F),
+    K)) keyframe sums become pure reshape reductions (~15x faster) and
+    point sums use the precomputed `pt_perm` sort + a sorted-hint
+    segment_sum (~2-3x faster). The scatter fallback serves the
+    shard_map-distributed path, whose shards are not slot-aligned."""
     F = prob.T_cw.shape[0]
     P = prob.points.shape[0]
     kf = prob.obs_kf
     pt = prob.obs_pt
+    slot_fast = obs_per_kf is not None and axis_name is None and pt_perm is not None
+    if slot_fast:
+        pt_sorted = pt[pt_perm]
+        kf_sorted = kf[pt_perm]
 
     # Pre-weighted pose Jacobian rows.
     JtW = [[J_pose[r][i] * wc[r] for i in range(6)] for r in range(3)]
 
-    def seg_sum(entries, idx, width):
-        """Stack (M,) entries -> scatter-add into (len(entries), width)."""
+    def scatter_sum(entries, idx, width):
         upd = jnp.stack(entries, axis=0)
         return _psum(
             jnp.zeros((len(entries), width), jnp.float32).at[:, idx].add(upd),
             axis_name,
         )
+
+    def kf_sum(entries):
+        """(M,) entries -> (len, F) summed per keyframe."""
+        if slot_fast:
+            v = jnp.stack(entries, axis=0)
+            return v.reshape(len(entries), F, obs_per_kf).sum(-1)
+        return scatter_sum(entries, kf, F)
+
+    def pt_sum(entries, sorted_already=False):
+        """(M,) entries -> (len, P) summed per point."""
+        if slot_fast:
+            v = jnp.stack(entries, axis=0)
+            if not sorted_already:
+                v = v[:, pt_perm]
+            return jax.ops.segment_sum(
+                v.T, pt_sorted, P, indices_are_sorted=True
+            ).T
+        return scatter_sum(entries, pt, P)
 
     # Per-observation blocks as flat component lists.
     Hcc_ij = [
@@ -202,10 +236,19 @@ def _gn_direction(
     bc_i = [-sum(JtW[r][i] * e[r] for r in range(3)) for i in range(6)]
     bp_i = [-sum(J_point[r][i] * wc[r] * e[r] for r in range(3)) for i in range(3)]
 
-    Hcc = seg_sum(Hcc_ij, kf, F).T.reshape(F, 6, 6)
-    Hpp_c = seg_sum(Hpp_ij, pt, P).reshape(3, 3, P)
-    b_c = seg_sum(bc_i, kf, F)  # (6, F)
-    b_p = seg_sum(bp_i, pt, P)  # (3, P)
+    Hcc = kf_sum(Hcc_ij).T.reshape(F, 6, 6)
+    Hpp_c = pt_sum(Hpp_ij).reshape(3, 3, P)
+    b_c = kf_sum(bc_i)  # (6, F)
+    b_p = pt_sum(bp_i)  # (3, P)
+
+    # Coupling blocks in point-sorted order, gathered once (ONE batched
+    # 18-column gather) and reused by every CG matvec (down_project's
+    # segment sum wants sorted inputs).
+    if slot_fast:
+        B_sorted = jnp.stack(
+            [B[i][j] for i in range(6) for j in range(3)], axis=0
+        )[:, pt_perm]  # (18, M)
+        B_s = [[B_sorted[i * 3 + j] for j in range(3)] for i in range(6)]
 
     lam = jnp.float32(cfg.lm_lambda_init)
     # Marquardt scaling: damping proportional to the block diagonal keeps
@@ -223,15 +266,20 @@ def _gn_direction(
     Hcc = Hcc + (lam * dcc / 6.0 + 1e-5 + prob.fixed[:, None, None]) * eye6
 
     def down_project(x):  # x: (6, F) -> Hpp^-1 Hcp^T x as (3, P)
-        xg = [x[i][kf] for i in range(6)]  # 6 x (M,)
-        t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
-        t_p = seg_sum(t_j, pt, P)  # (3, P)
+        if slot_fast:
+            xg = x[:, kf_sorted]  # (6, M) one batched gather, sorted order
+            t_j = [sum(B_s[i][j] * xg[i] for i in range(6)) for j in range(3)]
+            t_p = pt_sum(t_j, sorted_already=True)
+        else:
+            xg = x[:, kf]  # (6, M) one batched gather
+            t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
+            t_p = pt_sum(t_j)  # (3, P)
         return jnp.einsum("ijp,jp->ip", Hpp_inv, t_p)
 
     def up_project(y_p):  # y_p: (3, P) -> Hcp y as (6, F)
-        yg = [y_p[j][pt] for j in range(3)]
+        yg = y_p[:, pt]  # (3, M) one batched gather, slot order
         u_i = [sum(B[i][j] * yg[j] for j in range(3)) for i in range(6)]
-        return seg_sum(u_i, kf, F)
+        return kf_sum(u_i)
 
     def matvec(x):  # x: (6, F) -> S x in (6, F)
         return jnp.einsum("fij,jf->if", Hcc, x) - up_project(down_project(x))
@@ -240,9 +288,9 @@ def _gn_direction(
     y0 = jnp.einsum("ijp,jp->ip", Hpp_inv, b_p)  # (3, P)
     rhs = b_c - up_project(y0)
 
-    # Block-Jacobi preconditioned CG on S dx_c = rhs.
-    Minv = jnp.linalg.inv(Hcc)
-    prec = lambda r: jnp.einsum("fij,jf->if", Minv, r)
+    # Block-Jacobi preconditioned CG on S dx_c = rhs. Unrolled Cholesky
+    # (elementwise over F) instead of XLA's batched-LU inverse.
+    prec = lambda r: cholesky_solve_small(Hcc, r.T).T
 
     x = jnp.zeros((6, F), jnp.float32)
     r = rhs
@@ -267,9 +315,14 @@ def _gn_direction(
     x = x * (~prob.fixed)[None, :]
 
     # Back-substitute points: dx_p = Hpp^-1 (b_p - Hcp^T dx_c).
-    xg = [x[i][kf] for i in range(6)]
-    t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
-    t_p = seg_sum(t_j, pt, P)
+    if slot_fast:
+        xg = x[:, kf_sorted]
+        t_j = [sum(B_s[i][j] * xg[i] for i in range(6)) for j in range(3)]
+        t_p = pt_sum(t_j, sorted_already=True)
+    else:
+        xg = x[:, kf]
+        t_j = [sum(B[i][j] * xg[i] for i in range(6)) for j in range(3)]
+        t_p = pt_sum(t_j)
     dx_p = jnp.einsum("ijp,jp->ip", Hpp_inv, b_p - t_p)  # (3, P)
     dx_p = dx_p * prob.point_valid[None, :]
     return x.T, dx_p.T
@@ -278,6 +331,7 @@ def _gn_direction(
 def _gn_iteration(
     T_cw, points, prob: GlobalBAProblem, cam: CameraConfig,
     cfg: OptimizerConfig, comp_w, delta, use_huber, cg_iters, axis_name=None,
+    obs_per_kf=None, pt_perm=None,
 ):
     e, J_pose, J_point, behind = _residual_components(T_cw, points, prob, cam)
     w = prob.inv_sigma2 * prob.obs_valid * (~behind)  # (M,)
@@ -292,7 +346,10 @@ def _gn_iteration(
     # Fixed keyframes contribute to points but not to pose blocks.
     free = (~prob.fixed).astype(jnp.float32)[prob.obs_kf]
     J_pose = [[J_pose[r][i] * free for i in range(6)] for r in range(3)]
-    dx_c, dx_p = _gn_direction(e, J_pose, J_point, wc, prob, cfg, cg_iters, axis_name)
+    dx_c, dx_p = _gn_direction(
+        e, J_pose, J_point, wc, prob, cfg, cg_iters, axis_name,
+        obs_per_kf=obs_per_kf, pt_perm=pt_perm,
+    )
     return se3.se3_exp(dx_c) @ T_cw, points + dx_p
 
 
@@ -302,11 +359,16 @@ def global_ba_core(
     cfg: OptimizerConfig,
     cg_iters: int,
     axis_name=None,
+    obs_per_kf=None,
 ) -> GlobalBAResult:
     """The full robust GN loop. With `axis_name`, the observation arrays
     of `prob` are one shard along M (inside shard_map) and all
     segment-sums reduce with psum — the distributed path
-    (parallel/dist_ba.py)."""
+    (parallel/dist_ba.py).
+
+    `obs_per_kf` (static): set when obs_kf == repeat(arange(F), K) —
+    both problem_from_state and the benchmark build this layout — to
+    unlock the fast segment-sum paths (see _gn_direction)."""
     # Component weights in batch-last layout (3, M).
     comp_w = jnp.where(
         prob.is_stereo[None, :],
@@ -327,6 +389,12 @@ def global_ba_core(
     )
     prob = prob._replace(fixed=prob.fixed | (n_obs_kf < 6))
 
+    # Point-sort permutation for the fast segment-sum path, computed once
+    # (the observation->point mapping never changes across iterations).
+    pt_perm = None
+    if obs_per_kf is not None and axis_name is None:
+        pt_perm = jnp.argsort(prob.obs_pt)
+
     T_cw, points = prob.T_cw, prob.points
 
     def body(carry, _):
@@ -334,6 +402,7 @@ def global_ba_core(
         T_cw, points = _gn_iteration(
             T_cw, points, prob, cam, cfg, comp_w, delta,
             jnp.bool_(True), cg_iters, axis_name,
+            obs_per_kf=obs_per_kf, pt_perm=pt_perm,
         )
         return (T_cw, points), None
 
@@ -347,17 +416,22 @@ def global_ba_core(
     return GlobalBAResult(T_cw, points, inlier, chi)
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg", "cg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("cam", "cfg", "cg_iters", "obs_per_kf")
+)
 def global_bundle_adjust(
     prob: GlobalBAProblem,
     cam: CameraConfig,
     cfg: OptimizerConfig = OptimizerConfig(),
     cg_iters: int = 20,
+    obs_per_kf: int | None = None,
 ) -> GlobalBAResult:
     """Full-map BA: `cfg.global_ba_iters` robust GN iterations (the
     reference's nIterations=10, LoopClosing.cc:831), each solving the
-    reduced camera system with `cg_iters` PCG steps."""
-    return global_ba_core(prob, cam, cfg, cg_iters)
+    reduced camera system with `cg_iters` PCG steps. Pass `obs_per_kf`
+    when the problem has the slot layout obs_kf = repeat(arange(F), K)
+    (problem_from_state always does) for ~5x faster segment sums."""
+    return global_ba_core(prob, cam, cfg, cg_iters, obs_per_kf=obs_per_kf)
 
 
 def problem_from_state(state: SlamState, cfg: SlamConfig, fixed_kf: int = 0) -> GlobalBAProblem:
@@ -406,7 +480,10 @@ def global_ba_step_state(state: SlamState, cfg: SlamConfig, cg_iters: int = 20) 
     mutates the state mid-optimization). Outlier observations are pruned
     as in BundleAdjustment's robust kernel + the local-BA erase step."""
     prob = problem_from_state(state, cfg)
-    res = global_bundle_adjust(prob, cfg.camera, cfg.optimizer, cg_iters)
+    res = global_bundle_adjust(
+        prob, cfg.camera, cfg.optimizer, cg_iters,
+        obs_per_kf=state.kfs.kp_point.shape[1],
+    )
 
     F, K = state.kfs.kp_point.shape
     P = state.points.pos.shape[0]

@@ -165,3 +165,48 @@ def test_global_ba_state_wrapper(rng):
     err1 = pose_errors(np.asarray(out.kfs.T_cw[:F_use]), T_gt[:F_use]).max()
     assert err1 < 0.02, f"{err0:.4f} -> {err1:.4f}"
     assert err1 < err0
+
+
+def test_fast_segment_sum_path_matches_scatter(rng):
+    """The slot-structured fast path (obs_per_kf + sorted segment sums)
+    must produce the same result as the scatter fallback."""
+    F, K, P = 8, 24, 80
+    pts = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(4, 9, P)], -1
+    ).astype(np.float32)
+    T_gt = np.stack([
+        np.asarray(se3.se3_exp(jnp.asarray(
+            np.array([0.1 * i, 0.0, 0.0, 0.0, 0.02 * i, 0.0], np.float32))))
+        for i in range(F)
+    ])
+    kf = np.repeat(np.arange(F, dtype=np.int32), K)
+    pt = rng.integers(0, P, F * K).astype(np.int32)
+    p = np.einsum("mij,mj->mi", T_gt[kf, :3, :3], pts[pt]) + T_gt[kf, :3, 3]
+    z = p[:, 2]
+    u = CAM.fx * p[:, 0] / z + CAM.cx
+    v = CAM.fy * p[:, 1] / z + CAM.cy
+    obs = np.stack([u, v, u - CAM.depth_bf / z], -1).astype(np.float32)
+    ok = (z > 0.3) & (u > 0) & (u < 640) & (v > 0) & (v < 480)
+    ok &= rng.uniform(size=F * K) > 0.1  # some padding slots
+
+    T0 = T_gt.copy()
+    T0[1:, :3, 3] += rng.normal(0, 0.03, (F - 1, 3)).astype(np.float32)
+    prob = GlobalBAProblem(
+        T_cw=jnp.asarray(T0),
+        fixed=jnp.arange(F) == 0,
+        points=jnp.asarray(pts + rng.normal(0, 0.02, (P, 3)).astype(np.float32)),
+        point_valid=jnp.ones((P,), bool),
+        obs_kf=jnp.asarray(kf),
+        obs_pt=jnp.asarray(pt),
+        obs_uvr=jnp.asarray(obs),
+        inv_sigma2=jnp.ones((F * K,), jnp.float32),
+        is_stereo=jnp.ones((F * K,), bool),
+        obs_valid=jnp.asarray(ok),
+    )
+    cfg = OptimizerConfig()
+    slow = global_bundle_adjust(prob, CAM, cfg, cg_iters=15)
+    fast = global_bundle_adjust(prob, CAM, cfg, cg_iters=15, obs_per_kf=K)
+    np.testing.assert_allclose(
+        np.asarray(fast.T_cw), np.asarray(slow.T_cw), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(fast.points), np.asarray(slow.points), atol=2e-3)
