@@ -174,3 +174,7 @@ def rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     Tracking::GrabImageRGBD (Tracking.cc:655-668). Returns float32 [0,255]."""
     rgb = rgb.astype(np.float32)
     return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+
+
+if __name__ == "__main__":
+    associate_main()

@@ -263,3 +263,27 @@ def make_random_vocabulary(
         k=k,
         depth=depth,
     )
+
+
+def convert_main(argv=None):
+    """CLI mirror of the reference's tool/text2binary.cc: convert a
+    DBoW2 vocabulary between text and binary formats (direction from
+    file suffixes)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="vocabulary text<->binary converter")
+    p.add_argument("src", help=".txt or .bin vocabulary")
+    p.add_argument("dst", help=".bin or .txt output")
+    args = p.parse_args(argv)
+    vocab = load_binary(args.src) if args.src.endswith(".bin") \
+        else load_text_vocabulary(args.src)
+    if args.dst.endswith(".bin"):
+        save_binary(vocab, args.dst)
+    else:
+        save_text_vocabulary(vocab, args.dst)
+    print(f"{args.src} -> {args.dst}: {vocab.n_words} words, "
+          f"k={vocab.k} depth={vocab.depth}")
+
+
+if __name__ == "__main__":
+    convert_main()

@@ -111,3 +111,31 @@ def plot_occupancy(path: str, grid, cfg, max_voxels: int = 40000):
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def draw_trajectory_main(argv=None):
+    """CLI mirror of the reference's tool/draw_trajectory.py: plot the
+    ground truth against one or more estimated trajectories."""
+    import argparse
+
+    from orb_slam2_ssd_semantic_tpu.io.tum import read_trajectory
+
+    p = argparse.ArgumentParser(description="trajectory comparison plot")
+    p.add_argument("groundtruth")
+    p.add_argument("estimates", nargs="+", help="TUM-format trajectory files")
+    p.add_argument("-o", "--out", default="trajectories.png")
+    args = p.parse_args(argv)
+    named = {}
+    stamps, t, _ = read_trajectory(args.groundtruth)
+    named["groundtruth"] = t
+    for path in args.estimates:
+        _, t, _ = read_trajectory(path)
+        import os
+
+        named[os.path.basename(path)] = t
+    plot_trajectories(args.out, named)
+    print(f"wrote {args.out} ({', '.join(named)})")
+
+
+if __name__ == "__main__":
+    draw_trajectory_main()
