@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
-from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3, pcg_solve
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols, pcg_solve
 
 
 class BAProblem(NamedTuple):
@@ -64,37 +64,63 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray  # (W, K)
 
 
-def _residuals(T_cw, points, prob: BAProblem, cam: CameraConfig):
-    """Residuals e (W,K,3), pose Jacobian (W,K,3,6), point Jacobian
-    (W,K,3,3), and behind-camera mask (W,K)."""
-    W, K = prob.point_slot.shape
+def _residual_components(T_cw, points, prob: BAProblem, cam: CameraConfig):
+    """Residuals/Jacobians as COMPONENT LISTS of (W, K) arrays.
+
+    A materialized (W, K, 3, 6) Jacobian tiles to (8, 128) on its last
+    two dims — a ~56x HBM padding blowup that turns the 15-iteration GN
+    loop bandwidth-bound. (W, K) = (16, 1024) maps onto the tile grid
+    exactly, and every block product is an elementwise fusion.
+
+    Returns (e [3 x (W,K)], J_pose [3][6 x (W,K)],
+    J_point [3][3 x (W,K)], behind (W,K))."""
     slot = jnp.clip(prob.point_slot, 0, points.shape[0] - 1)
-    X = points[slot]  # (W, K, 3)
+    X = points[slot]  # (W, K, 3) — row gather, 3-wide
     R = T_cw[:, :3, :3]
     t = T_cw[:, :3, 3]
-    p = jnp.einsum("wij,wkj->wki", R, X) + t[:, None, :]
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    Rg = [[R[:, i, j][:, None] for j in range(3)] for i in range(3)]
+    Xc = [X[..., j] for j in range(3)]
+    p = [sum(Rg[i][j] * Xc[j] for j in range(3)) + t[:, i][:, None]
+         for i in range(3)]
+    x, y, z = p
     z_safe = jnp.where(z > 1e-6, z, 1e-6)
     iz = 1.0 / z_safe
     iz2 = iz * iz
+    zeros = jnp.zeros_like(iz)
+    ones = jnp.ones_like(iz)
 
     u = cam.fx * x * iz + cam.cx
     v = cam.fy * y * iz + cam.cy
     ur = u - cam.depth_bf * iz
-    e = jnp.stack([u, v, ur], axis=-1) - prob.obs_uvr
+    e = [u - prob.obs_uvr[..., 0], v - prob.obs_uvr[..., 1],
+         ur - prob.obs_uvr[..., 2]]
 
-    zeros = jnp.zeros_like(iz)
-    du = jnp.stack([cam.fx * iz, zeros, -cam.fx * x * iz2], axis=-1)
-    dv = jnp.stack([zeros, cam.fy * iz, -cam.fy * y * iz2], axis=-1)
-    dur = du + jnp.stack([zeros, zeros, cam.depth_bf * iz2], axis=-1)
-    duvr_dp = jnp.stack([du, dv, dur], axis=-2)  # (W, K, 3, 3)
+    du = [cam.fx * iz, zeros, -cam.fx * x * iz2]
+    dv = [zeros, cam.fy * iz, -cam.fy * y * iz2]
+    dur = [du[0], du[1], du[2] + cam.depth_bf * iz2]
+    duvr = [du, dv, dur]
 
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), p.shape[:-1] + (3, 3))
-    dp_dxi = jnp.concatenate([eye, -se3.hat(p)], axis=-1)  # (W, K, 3, 6)
-    J_pose = duvr_dp @ dp_dxi  # (W, K, 3, 6)
-    # dp/dX = R (independent of the keypoint).
-    J_point = duvr_dp @ R[:, None, :, :]  # (W, K, 3, 3)
+    hat = [[zeros, -z, y], [z, zeros, -x], [-y, x, zeros]]
+    eye = [[ones if i == k else zeros for i in range(3)] for k in range(3)]
+    dp_dxi = [
+        [eye[k][0], eye[k][1], eye[k][2], -hat[k][0], -hat[k][1], -hat[k][2]]
+        for k in range(3)
+    ]
+    J_pose = [
+        [sum(duvr[r][k] * dp_dxi[k][i] for k in range(3)) for i in range(6)]
+        for r in range(3)
+    ]
+    J_point = [
+        [sum(duvr[r][k] * Rg[k][i] for k in range(3)) for i in range(3)]
+        for r in range(3)
+    ]
     return e, J_pose, J_point, z <= 1e-6
+
+
+def _residuals(T_cw, points, prob: BAProblem, cam: CameraConfig):
+    """Stacked residuals e (W,K,3) + behind mask, for chi2 evaluation."""
+    e, _, _, behind = _residual_components(T_cw, points, prob, cam)
+    return jnp.stack(e, axis=-1), behind
 
 
 def _obs_chi2(e, inv_sigma2, comp_w):
@@ -132,67 +158,104 @@ def local_bundle_adjust(
     ).astype(jnp.float32)  # (W, K, N)
 
     def gn_step(T_cw, points, inlier_w, use_huber):
-        e, J_pose, J_point, behind = _residuals(T_cw, points, prob, cam)
+        # Component-vector algebra: every per-observation quantity is a
+        # (W, K) array (exactly tile-aligned) — no (W, K, 3, 6) tensors,
+        # whose (8, 128) tile padding costs ~56x the HBM traffic.
+        e, J_pose, J_point, behind = _residual_components(T_cw, points, prob, cam)
         w = prob.inv_sigma2 * inlier_w * (~behind)
-        chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
+        chi = sum(e[r] * e[r] * comp_w[..., r] for r in range(3)) * prob.inv_sigma2
         rho = jnp.where(
             use_huber & (chi > delta * delta),
             delta / jnp.sqrt(jnp.maximum(chi, 1e-12)),
             1.0,
         )
-        wc = (w * rho)[..., None] * comp_w  # (W, K, 3)
+        wr = w * rho
+        wc = [wr * comp_w[..., r] for r in range(3)]  # 3 x (W, K)
 
         # Pose blocks exclude fixed keyframes.
-        Jp = J_pose * free_pose[:, None, None, None]
+        fp = free_pose[:, None]
+        JtW = [[J_pose[r][i] * wc[r] * fp for i in range(6)] for r in range(3)]
 
-        Hcc = jnp.einsum("wkri,wkr,wkrj->wij", Jp, wc, Jp)  # (W, 6, 6)
-        b_c = -jnp.einsum("wkri,wkr->wi", Jp, wc * e)  # (W, 6)
+        # Hcc (W, 6, 6) and b_c (W, 6): per-(i,j) sums over K.
+        Hcc = jnp.stack(
+            [sum((JtW[r][i] * J_pose[r][j] * fp).sum(-1) for r in range(3))
+             for i in range(6) for j in range(6)],
+            axis=-1,
+        ).reshape(W, 6, 6)
+        b_c = jnp.stack(
+            [-sum((JtW[r][i] * e[r]).sum(-1) for r in range(3))
+             for i in range(6)],
+            axis=-1,
+        )  # (W, 6)
 
-        # Per-observation blocks, flattened for the incidence GEMMs.
-        Hpp_flat = jnp.einsum("wkri,wkr,wkrj->wkij", J_point, wc, J_point)
-        b_p_flat = -jnp.einsum("wkri,wkr->wki", J_point, wc * e)
-        Hcp_flat = jnp.einsum("wkri,wkr,wkrj->wkij", Jp, wc, J_point)  # (W,K,6,3)
+        # Per-observation point/coupling blocks as (c, W, K) stacks.
+        pp12 = jnp.stack(
+            [sum(J_point[r][i] * wc[r] * J_point[r][j] for r in range(3))
+             for i in range(3) for j in range(3)]
+            + [-sum(J_point[r][i] * wc[r] * e[r] for r in range(3))
+               for i in range(3)],
+            axis=0,
+        )  # (12, W, K)
+        Hcp_c = jnp.stack(
+            [sum(JtW[r][i] * J_point[r][j] for r in range(3))
+             for i in range(6) for j in range(3)],
+            axis=0,
+        )  # (18, W, K)
 
-        # Point reductions: one (N, W*K) x (W*K, 12) GEMM.
-        pp12 = jnp.concatenate(
-            [Hpp_flat.reshape(W, K, 9), b_p_flat], axis=-1
-        ).reshape(W * K, 12)
-        red = onehot.reshape(W * K, N).T @ pp12  # (N, 12)
-        Hpp = red[:, :9].reshape(N, 3, 3)
-        b_p = red[:, 9:]
+        # Point reductions: one (12, W*K) x (W*K, N) GEMM.
+        red = pp12.reshape(12, W * K) @ onehot.reshape(W * K, N)  # (12, N)
+        Hpp_cols = red[:9].reshape(3, 3, N)
+        b_p = red[9:]  # (3, N)
 
-        # Camera-point coupling: W batched (N, K) x (K, 18) GEMMs.
-        Hcp = jnp.einsum(
-            "wkn,wkf->wnf", onehot, Hcp_flat.reshape(W, K, 18)
-        ).reshape(W, N, 6, 3)
+        # Camera-point coupling per window keyframe: (18, W, K) x
+        # (W, K, N) batched GEMMs -> (18, W, N) (tile-aligned: N minor).
+        Hcp = jnp.einsum("cwk,wkn->cwn", Hcp_c, onehot)
 
-        # Damped point-block inverse.
+        # Damped point-block inverse in (3, 3, N) layout.
         lam = jnp.float32(cfg.lm_lambda_init)
-        Hpp = Hpp + (lam + 1e-6) * jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (N, 3, 3))
-        Hpp_inv = inv3x3(Hpp)
+        for i in range(3):
+            Hpp_cols = Hpp_cols.at[i, i].add(lam + 1e-6)
+        Hpp_inv = inv3x3_cols(Hpp_cols)  # (3, 3, N)
 
-        # Reduced camera system: S = Hcc - A Hcp' with A = Hcp Hpp^-1,
-        # contracted as ONE (6W, 3N) x (3N, 6W) MXU matmul.
-        A = jnp.einsum("wnab,nbc->wnac", Hcp, Hpp_inv)  # (W, N, 6, 3)
-        A2 = A.transpose(0, 2, 1, 3).reshape(6 * W, 3 * N)
-        Hcp2 = Hcp.transpose(0, 2, 1, 3).reshape(6 * W, 3 * N)
-        S_mat = -(A2 @ Hcp2.T)  # (6W, 6W)
-        Sblk = S_mat.reshape(W, 6, W, 6)
-        Sblk = Sblk.at[jnp.arange(W), :, jnp.arange(W), :].add(Hcc)
+        # Reduced camera system: S = Hcc - A Hcp' with A = Hcp Hpp^-1.
+        # Row order is (i, w) -> i*W + w on BOTH factors, so the 3
+        # (6W, N) x (N, 6W) MXU matmuls (one per point coordinate)
+        # produce consistent (iw, jd) blocks.
+        A = [
+            [sum(Hcp[i * 3 + b] * Hpp_inv[b, c][None, :] for b in range(3))
+             for c in range(3)]
+            for i in range(6)
+        ]  # [i][c] -> (W, N)
+        A_mat = [jnp.stack([A[i][c] for i in range(6)], 0).reshape(6 * W, N)
+                 for c in range(3)]
+        H_mat = [jnp.stack([Hcp[i * 3 + c] for i in range(6)], 0).reshape(6 * W, N)
+                 for c in range(3)]
+        S_mat = -sum(A_mat[c] @ H_mat[c].T for c in range(3))  # (6W, 6W) iw-order
+        Sblk = S_mat.reshape(6, W, 6, W)
+        wi = jnp.arange(W)
+        # Advanced indices at axes 1 and 3 land in front: (W, 6, 6).
+        Sblk = Sblk.at[:, wi, :, wi].add(Hcc)
         S_mat = Sblk.reshape(6 * W, 6 * W)
-        rhs = b_c - (A2 @ b_p.reshape(-1)).reshape(W, 6)
+        rhs = b_c.T - sum(
+            (A_mat[c] @ b_p[c]).reshape(6, W) for c in range(3)
+        )  # (6, W)
 
         # Gauge: identity rows for fixed poses keep the system well-posed.
-        fixed_diag = jnp.repeat(prob.fixed, 6)
+        fixed_diag = jnp.tile(prob.fixed, 6)  # iw order
         S_mat = S_mat + jnp.diag(fixed_diag.astype(jnp.float32) + 1e-5)
         # Jacobi-PCG instead of LU: the 6Wx6W solve is latency-bound
         # sequential work on TPU, and GN tolerates the inexact step.
-        dx_c = pcg_solve(S_mat, rhs.reshape(-1), iters=32).reshape(W, 6)
-        dx_c = dx_c * free_pose[:, None]
+        dx = pcg_solve(S_mat, rhs.reshape(-1), iters=32).reshape(6, W)
+        dx = dx * free_pose[None, :]
+        dx_c = dx.T  # (W, 6)
 
         # Back-substitute points: dx_p = Hpp^-1 (b_p - Hcp' dx_c).
-        corr = (dx_c.reshape(-1) @ Hcp2).reshape(N, 3)
-        dx_p = jnp.einsum("nbc,nc->nb", Hpp_inv, b_p - corr)
+        corr = [
+            sum((Hcp[i * 3 + c] * dx[i][:, None]).sum(0) for i in range(6))
+            for c in range(3)
+        ]  # 3 x (N,)
+        resid = jnp.stack([b_p[c] - corr[c] for c in range(3)], 0)  # (3, N)
+        dx_p = jnp.einsum("bcn,cn->bn", Hpp_inv, resid).T  # (N, 3)
         dx_p = dx_p * prob.point_valid[:, None]
 
         T_new = se3.se3_exp(dx_c) @ T_cw
@@ -203,18 +266,29 @@ def local_bundle_adjust(
     points = prob.points
     inlier = obs_valid.astype(jnp.float32)
 
+    def phase(T_cw, points, inlier, use_huber, n_iters):
+        # lax.scan, not a Python loop: the component-style gn_step
+        # traces to a large graph and unrolling 15 copies multiplies
+        # XLA compile time.
+        def body(carry, _):
+            T, pts = carry
+            return gn_step(T, pts, inlier, use_huber), None
+
+        (T_cw, points), _ = jax.lax.scan(
+            body, (T_cw, points), None, length=n_iters
+        )
+        return T_cw, points
+
     # Phase 1: robust iterations (reference: 5 iters with Huber).
-    for _ in range(cfg.local_ba_iters_initial):
-        T_cw, points = gn_step(T_cw, points, inlier, True)
+    T_cw, points = phase(T_cw, points, inlier, True, cfg.local_ba_iters_initial)
     # Outlier gate (Optimizer.cc:850-886).
-    e, _, _, behind = _residuals(T_cw, points, prob, cam)
+    e, behind = _residuals(T_cw, points, prob, cam)
     chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
     inlier = (obs_valid & (chi < chi2_th) & (~behind)).astype(jnp.float32)
     # Phase 2: clean iterations (reference: 10 more without kernel).
-    for _ in range(cfg.local_ba_iters_refine):
-        T_cw, points = gn_step(T_cw, points, inlier, False)
+    T_cw, points = phase(T_cw, points, inlier, False, cfg.local_ba_iters_refine)
 
-    e, _, _, behind = _residuals(T_cw, points, prob, cam)
+    e, behind = _residuals(T_cw, points, prob, cam)
     chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
     final_inlier = obs_valid & (chi < chi2_th) & (~behind)
     return BAResult(T_cw, points, final_inlier, chi)
