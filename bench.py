@@ -27,7 +27,7 @@ import sys
 import time
 
 # Persistent XLA compilation cache: first-compile through the remote-TPU
-# relay costs 20-40s per program; cached reruns skip it entirely.
+# relay costs minutes per program; cached reruns skip it entirely.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -39,6 +39,14 @@ def main():
     import numpy as np
 
     import jax
+
+    # The env vars above are NOT picked up under this environment's
+    # sitecustomize backend boot — the cache stays "disabled/not
+    # initialized" unless set through jax.config (measured: round 1's
+    # driver bench cold-compiled ~5.5 min and timed out, rc=124).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from orb_slam2_ssd_semantic_tpu.config import SlamConfig
     from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz

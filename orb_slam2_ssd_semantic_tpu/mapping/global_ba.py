@@ -434,10 +434,17 @@ def global_bundle_adjust(
     return global_ba_core(prob, cam, cfg, cg_iters, obs_per_kf=obs_per_kf)
 
 
-def problem_from_state(state: SlamState, cfg: SlamConfig, fixed_kf: int = 0) -> GlobalBAProblem:
+def problem_from_state(state: SlamState, cfg: SlamConfig, fixed_kf=None) -> GlobalBAProblem:
     """Assemble the full-map problem from SlamState. One observation slot
-    per (keyframe, keypoint) cell — already fixed-shape (M = F*K)."""
+    per (keyframe, keypoint) cell — already fixed-shape (M = F*K).
+    Gauge: `fixed_kf` slot if given, else the oldest live keyframe
+    (minimum uid — slot 0 may be reused)."""
     F, K = state.kfs.kp_point.shape
+    if fixed_kf is None:
+        uid_eff = jnp.where(
+            state.kfs.valid & (state.kfs.uid >= 0), state.kfs.uid, jnp.int32(2 ** 30)
+        )
+        fixed_kf = jnp.argmin(uid_eff)
     P = state.points.pos.shape[0]
     sf = scale_factors(cfg.orb)
 

@@ -1,19 +1,28 @@
-"""Local mapping: window assembly, local BA dispatch, and map-point culling.
+"""Local mapping: triangulation, duplicate fusion, covisibility-window
+BA, map-point maintenance, and culling.
 
 The engine's equivalent of the LocalMapping thread's per-keyframe work
 (perfect/src/LocalMapping.cc:70-156): after each keyframe insertion the
 host calls `local_mapping_step`, which (on device, fixed shapes):
 
-  1. assembles the local BA problem from the newest `local_ba_window`
-     keyframes and the points they observe (the recency window stands in
-     for the covisibility window of Optimizer.cc:624-682 — identical for
-     exploratory motion; covisibility selection arrives with loop
-     closing),
-  2. runs the Schur-complement local BA (mapping/ba.py),
-  3. writes refined poses/points back into the SlamState and prunes
-     outlier observations (Optimizer.cc:936-957 erase step),
-  4. culls bad map points (MapPointCulling, LocalMapping.cc:270-344:
-     found/visible ratio < 0.25, or too few observations while young).
+  1. triangulates new landmarks between the newest keyframe and its
+     best covisible neighbors (CreateNewMapPoints, LocalMapping.cc:349;
+     the reference's 10 best neighbors),
+  2. fuses duplicate landmarks with the covisible neighborhood
+     (SearchInNeighbors, LocalMapping.cc:652 → ORBmatcher::Fuse,
+     ORBmatcher.cc:1031, with MapPoint::Replace merge semantics,
+     MapPoint.cc:225),
+  3. assembles the local BA problem from the newest keyframe's
+     covisibility window plus fixed anchor keyframes that observe the
+     local points (Optimizer.cc:624-682), runs the Schur-complement
+     local BA (mapping/ba.py), writes back, prunes outlier observations,
+  4. refreshes each local point's representative descriptor (min-median
+     Hamming, MapPoint::ComputeDistinctiveDescriptors,
+     MapPoint.cc:305-368) and viewing normal / scale-invariance depths
+     (MapPoint::UpdateNormalAndDepth, MapPoint.cc:397-446),
+  5. culls bad map points (MapPointCulling, LocalMapping.cc:270-344) and
+     redundant keyframes (KeyFrameCulling, LocalMapping.cc:764-860),
+     releasing their slots for reuse.
 """
 
 from __future__ import annotations
@@ -25,42 +34,48 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
+from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
 from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.mapping.ba import BAProblem, local_bundle_adjust
-from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, covisibility_row
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+    SlamState,
+    alloc_slots,
+    covisibility,
+    covisibility_row,
+)
 from orb_slam2_ssd_semantic_tpu.mapping.triangulation import triangulate_pair
-
-N_TRIANGULATION_NEIGHBORS = 2  # covis neighbors per new KF (reference: 10 best)
+from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     """Triangulate landmarks between the newest keyframe and its best
     covisible neighbors (LocalMapping::CreateNewMapPoints,
-    LocalMapping.cc:349-649). Only keypoints with no association spawn —
+    LocalMapping.cc:349-649; the reference takes the 10 best covisible,
+    LocalMapping.cc:360). Only keypoints with no association spawn —
     close-depth ones already spawned at insertion; this is how landmarks
     beyond the RGB-D depth range (and all monocular landmarks) enter the
     map. Neighbors with a baseline shorter than the (virtual) stereo
     baseline are skipped (LocalMapping.cc:399-421)."""
     F = state.kfs.valid.shape[0]
     P = state.points.pos.shape[0]
+    K = state.kfs.kp_point.shape[1]
     sf = scale_factors(cfg.orb)
-    kf1 = jnp.maximum(state.n_kfs - 1, 0)
+    kf1 = state.last_kf
 
-    covis = covisibility_row(state.kfs.kp_point, state.kfs.valid.astype(jnp.float32),
-                             kf1, P).astype(jnp.float32)
-    _, neighbors = jax.lax.top_k(covis, N_TRIANGULATION_NEIGHBORS)
+    neighbors, ok_nb = _neighbor_slots(state, kf1, cfg.map.triangulation_neighbors)
 
     uv1 = state.kfs.uv[kf1]
     desc1 = state.kfs.desc[kf1]
     level1 = state.kfs.level[kf1]
     T1 = state.kfs.T_cw[kf1]
+    kf_uid1 = state.kfs.uid[kf1]
     c1 = se3.se3_inverse(T1)[:3, 3]
     baseline_min = cfg.camera.depth_bf / cfg.camera.fx  # stereo baseline (m)
 
-    for n in range(N_TRIANGULATION_NEIGHBORS):
-        kf2 = neighbors[n]
-        ok_pair = (covis[kf2] > 0) & state.kfs.valid[kf2] & (kf2 != kf1)
+    def body(state: SlamState, xs):
+        kf2, ok_nb2 = xs
+        ok_pair = ok_nb2 & state.kfs.valid[kf2] & (kf2 != kf1)
         T2 = state.kfs.T_cw[kf2]
         c2 = se3.se3_inverse(T2)[:3, 3]
         ok_pair = ok_pair & (jnp.linalg.norm(c1 - c2) > baseline_min)
@@ -75,9 +90,10 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
         )
         ok = tri.valid & ok_pair
 
-        # Allocate map-point slots for the survivors.
+        # Allocate free map-point slots for the survivors.
+        free = alloc_slots(state.points.valid, K)
         rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        slot = state.n_points + rank
+        slot = free[jnp.clip(rank, 0, K - 1)]
         ok = ok & (slot < P)
         slot_safe = jnp.where(ok, slot, P)
 
@@ -99,6 +115,7 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
             n_visible=pts.n_visible.at[slot_safe].set(2, mode="drop"),
             n_found=pts.n_found.at[slot_safe].set(2, mode="drop"),
             ref_kf=pts.ref_kf.at[slot_safe].set(kf1, mode="drop"),
+            first_kf_uid=pts.first_kf_uid.at[slot_safe].set(kf_uid1, mode="drop"),
             valid=pts.valid.at[slot_safe].set(True, mode="drop"),
         )
 
@@ -106,8 +123,7 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
         kfs = state.kfs
         kp1 = jnp.where(ok, slot, kfs.kp_point[kf1])
         kfs = kfs._replace(kp_point=kfs.kp_point.at[kf1].set(kp1))
-        K2 = kfs.kp_point.shape[1]
-        j2 = jnp.where(ok, tri.idx2, K2)
+        j2 = jnp.where(ok, tri.idx2, K)
         kp2 = kfs.kp_point[kf2].at[j2].set(jnp.where(ok, slot, -1), mode="drop")
         kfs = kfs._replace(kp_point=kfs.kp_point.at[kf2].set(kp2))
 
@@ -115,31 +131,334 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
             points=pts, kfs=kfs,
             n_points=state.n_points + jnp.sum(ok.astype(jnp.int32)),
         )
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, (neighbors, ok_nb))
     return state
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-landmark fusion (SearchInNeighbors / Fuse / Replace)
+# ---------------------------------------------------------------------------
+
+def _apply_merges(state: SlamState, loser: jnp.ndarray, winner: jnp.ndarray) -> SlamState:
+    """Merge map points: every reference to `loser[i]` is rebound to
+    `winner[i]`, the winner absorbs the loser's statistics, the loser is
+    invalidated — MapPoint::Replace semantics (MapPoint.cc:225-273),
+    vectorized as a remap-table gather over all associations.
+
+    `loser` entries equal to P are sentinels (no merge)."""
+    pts = state.points
+    P = pts.pos.shape[0]
+    remap = jnp.arange(P + 1, dtype=jnp.int32)
+    winner_eff = jnp.where(loser < P, winner, P)
+    remap = remap.at[jnp.clip(loser, 0, P)].set(winner_eff)
+    # Collapse chains (a->b->c) and cancel 2-cycles to identity.
+    remap = remap[remap]
+    remap = remap[remap]
+    self_mapped = remap[:P] == jnp.arange(P)
+    merged = (~self_mapped) & pts.valid
+    w_of = remap[:P]
+
+    add_to = jnp.where(merged, w_of, P)
+    n_obs = pts.n_obs.at[add_to].add(pts.n_obs, mode="drop")
+    n_vis = pts.n_visible.at[add_to].add(pts.n_visible, mode="drop")
+    n_fnd = pts.n_found.at[add_to].add(pts.n_found, mode="drop")
+    pts = pts._replace(
+        n_obs=n_obs, n_visible=n_vis, n_found=n_fnd,
+        valid=pts.valid & ~merged,
+    )
+
+    kp = state.kfs.kp_point
+    kp = jnp.where(kp >= 0, remap[jnp.clip(kp, 0, P)], kp)
+    return state._replace(
+        points=pts,
+        kfs=state.kfs._replace(kp_point=kp),
+        n_points=state.n_points - jnp.sum(merged.astype(jnp.int32)),
+    )
+
+
+def _fuse_direction(state: SlamState, src, dst, cfg: SlamConfig) -> SlamState:
+    """Project the landmarks observed by keyframe `src` into keyframe
+    `dst` and fuse (ORBmatcher::Fuse, ORBmatcher.cc:1031-1196): a match
+    against an UNBOUND keypoint adds an observation; a match against a
+    keypoint already bound to a different landmark merges the two
+    (keeping the one with more observations, ORBmatcher.cc:1140-1148)."""
+    cam = cfg.camera
+    sf = scale_factors(cfg.orb)
+    pts = state.points
+    kfs = state.kfs
+    P = pts.pos.shape[0]
+    K = kfs.kp_point.shape[1]
+
+    ids = kfs.kp_point[src]  # (K,) point ids observed by src
+    idc = jnp.clip(ids, 0, P - 1)
+    q_valid = (ids >= 0) & pts.valid[idc] & kfs.kp_valid[src]
+    X = pts.pos[idc]
+    T_dst = kfs.T_cw[dst]
+    pc = se3.transform_points(T_dst, X)
+    uv, z = cam_ops.project(pc, cam)
+    dist = jnp.linalg.norm(pc, axis=-1)
+    c_dst = se3.se3_inverse(T_dst)[:3, 3]
+    view = (X - c_dst[None]) / jnp.maximum(dist, 1e-6)[:, None]
+    cos_view = jnp.sum(view * pts.normal[idc], axis=-1)
+    q_valid = (
+        q_valid
+        & (z > 0.05)
+        & cam_ops.in_image(uv, cam)
+        # Scale-invariance distance band + <60 deg viewing angle vs the
+        # landmark normal (ORBmatcher.cc:1079-1096).
+        & (dist > 0.8 * pts.min_dist[idc])
+        & (dist < 1.3 * pts.max_dist[idc])
+        & (cos_view > 0.5)
+    )
+    ratio = jnp.maximum(pts.max_dist[idc] / jnp.maximum(dist, 1e-6), 1e-6)
+    pred_level = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(cfg.orb.scale_factor)).astype(jnp.int32),
+        0, cfg.orb.n_levels - 1,
+    )
+    radius = cfg.map.fuse_search_radius * sf[pred_level]
+    m = match_ops.match_by_window(
+        pts.desc[idc], kfs.desc[dst], uv, kfs.uv[dst],
+        q_valid, kfs.kp_valid[dst], radius, max_dist=match_ops.TH_LOW,
+    )
+    j = jnp.clip(m.idx, 0, K - 1)
+    existing = kfs.kp_point[dst][j]
+    bind = m.valid & (existing < 0)
+    merge = m.valid & (existing >= 0) & (existing != ids)
+
+    # Bind: new observation of the projected landmark.
+    row = kfs.kp_point[dst]
+    row = row.at[jnp.where(bind, j, K)].set(
+        jnp.where(bind, ids, -1), mode="drop"
+    )
+    n_obs = pts.n_obs.at[jnp.where(bind, ids, P)].add(1, mode="drop")
+    state = state._replace(
+        points=pts._replace(n_obs=n_obs),
+        kfs=kfs._replace(kp_point=kfs.kp_point.at[dst].set(row)),
+    )
+
+    # Merge: winner = more observations (ORBmatcher.cc:1140-1148).
+    ex_c = jnp.clip(existing, 0, P - 1)
+    q_wins = n_obs[idc] >= n_obs[ex_c]
+    winner = jnp.where(q_wins, ids, existing)
+    loser = jnp.where(merge, jnp.where(q_wins, existing, ids), P)
+    return _apply_merges(state, loser, winner)
+
+
+def _dedup_observations(state: SlamState) -> SlamState:
+    """Drop duplicate (keyframe, point) observations created when a
+    merge rebinds a landmark a keyframe already observes — the
+    reference's Replace keeps the existing observation and erases the
+    duplicate (MapPoint.cc:240-252). Sort-based: one argsort over the
+    flattened association table."""
+    kfs = state.kfs
+    pts = state.points
+    F, K = kfs.kp_point.shape
+    P = pts.pos.shape[0]
+    kp = kfs.kp_point
+    big = jnp.int32(2 ** 30)
+    key = jnp.where(
+        kp >= 0, kp + jnp.arange(F, dtype=jnp.int32)[:, None] * (P + 1), big
+    ).reshape(-1)
+    order = jnp.argsort(key)
+    s = key[order]
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((1,), bool), (s[1:] == s[:-1]) & (s[1:] < big)]
+    )
+    dup = jnp.zeros_like(dup_sorted).at[order].set(dup_sorted).reshape(F, K)
+    dec_ids = jnp.where(dup, kp, P).reshape(-1)
+    n_obs = pts.n_obs.at[dec_ids].add(-1, mode="drop")
+    return state._replace(
+        points=pts._replace(n_obs=jnp.maximum(n_obs, 0)),
+        kfs=kfs._replace(kp_point=jnp.where(dup, -1, kp)),
+    )
+
+
+def _neighbor_slots(state: SlamState, kf1, k: int):
+    """Top-k fusion/triangulation partners of keyframe `kf1`: covisible
+    keyframes first (reference: best covisible, LocalMapping.cc:360,656),
+    falling back to the most RECENT keyframes when covisibility is still
+    empty (bootstrap — before tracking has bound shared landmarks).
+    Returns (slots (k,), ok (k,))."""
+    P = state.points.pos.shape[0]
+    F = state.kfs.valid.shape[0]
+    covis = covisibility_row(
+        state.kfs.kp_point, state.kfs.valid.astype(jnp.float32), kf1, P
+    ).astype(jnp.float32)
+    eligible = state.kfs.valid & (jnp.arange(F) != kf1) & (state.kfs.uid >= 0)
+    covis_sc = jnp.where(eligible, covis, -1.0)
+    rec_sc = jnp.where(eligible, state.kfs.uid.astype(jnp.float32), -1.0)
+    sc = jnp.where(covis_sc > 0, 1e9 + covis_sc, rec_sc)
+    top, slots = jax.lax.top_k(sc, k)
+    return slots, top >= 0.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
+    """SearchInNeighbors (LocalMapping.cc:652-763): fuse the newest
+    keyframe's landmarks into each of its best covisible neighbors and
+    vice versa, then deduplicate observations."""
+    kf1 = state.last_kf
+    neighbors, ok_n = _neighbor_slots(state, kf1, cfg.map.fuse_neighbors)
+
+    def body(state, xs):
+        kf2, ok = xs
+
+        def do(s):
+            s = _fuse_direction(s, kf1, kf2, cfg)
+            s = _fuse_direction(s, kf2, kf1, cfg)
+            return s
+
+        return jax.lax.cond(ok, do, lambda s: s, state), None
+
+    state, _ = jax.lax.scan(body, state, (neighbors, ok_n))
+    return _dedup_observations(state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_pair(state: SlamState, kf_a, kf_b, cfg: SlamConfig) -> SlamState:
+    """Bidirectional landmark fusion between two specific keyframes —
+    the building block of LoopClosing::SearchAndFuse (LoopClosing.cc:
+    791-824), which projects loop-side landmarks into the corrected
+    current-side keyframes so the two sides of a closed loop share
+    observations (and thus covisibility edges) from then on."""
+    state = _fuse_direction(state, kf_a, kf_b, cfg)
+    state = _fuse_direction(state, kf_b, kf_a, cfg)
+    return _dedup_observations(state)
+
+
+# ---------------------------------------------------------------------------
+# Map-point maintenance (descriptor refresh + normal/depth update)
+# ---------------------------------------------------------------------------
+
+def _refresh_local_points(
+    state: SlamState, kf_ids, row_ok, local_ids, slot, point_valid, cfg: SlamConfig
+) -> SlamState:
+    """Refresh the representative descriptor (min-median Hamming over
+    observations, MapPoint::ComputeDistinctiveDescriptors,
+    MapPoint.cc:305-368) and the viewing normal / scale-invariance
+    depths (MapPoint::UpdateNormalAndDepth, MapPoint.cc:397-446) of the
+    local points, from their observations within the BA window — bounded
+    to `maintenance_max_obs` samples per point to keep shapes fixed."""
+    pts = state.points
+    P = pts.pos.shape[0]
+    M = cfg.map.maintenance_max_obs
+    N = local_ids.shape[0]
+    Wt, K = slot.shape
+    sf = scale_factors(cfg.orb)
+
+    kp_ok = state.kfs.kp_valid[kf_ids] & row_ok[:, None]
+    s = jnp.where((slot >= 0) & kp_ok, slot, N).reshape(-1)
+    order = jnp.argsort(s)
+    ss = s[order]
+    start = jnp.searchsorted(ss, ss, side="left")
+    j = jnp.arange(ss.shape[0], dtype=jnp.int32) - start.astype(jnp.int32)
+    keep = (ss < N) & (j < M)
+    rows = jnp.where(keep, ss, N)
+    cols = jnp.where(keep, j, 0)
+
+    desc_flat = state.kfs.desc[kf_ids].reshape(Wt * K, 8)[order]
+    level_flat = state.kfs.level[kf_ids].reshape(-1)[order]
+    w_flat = (jnp.arange(Wt * K, dtype=jnp.int32) // K)[order]
+    uid_flat = state.kfs.uid[kf_ids][w_flat]
+
+    obs_desc = jnp.zeros((N + 1, M, 8), jnp.uint32).at[rows, cols].set(
+        desc_flat, mode="drop"
+    )[:N]
+    cnt = jnp.zeros((N + 1,), jnp.int32).at[rows].add(
+        keep.astype(jnp.int32), mode="drop"
+    )[:N]
+
+    # --- descriptor: min-median pairwise Hamming -------------------------
+    x = jnp.bitwise_xor(obs_desc[:, :, None, :], obs_desc[:, None, :, :])
+    ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)  # (N,M,M)
+    in_cnt = jnp.arange(M, dtype=jnp.int32)[None, :] < cnt[:, None]
+    hv = jnp.where(in_cnt[:, None, :], ham, 512)
+    hs = jnp.sort(hv, axis=-1)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        hs, jnp.broadcast_to(med_idx[:, None, None], (N, M, 1)), axis=-1
+    )[..., 0]  # (N, M)
+    med = jnp.where(in_cnt, med, 1 << 20)
+    best = jnp.argmin(med, axis=-1)
+    best_desc = jnp.take_along_axis(
+        obs_desc, jnp.broadcast_to(best[:, None, None], (N, 1, 8)), axis=1
+    )[:, 0]
+    upd = point_valid & (cnt >= 2)
+    upd_ids = jnp.where(upd, local_ids, P)
+    pts = pts._replace(
+        desc=pts.desc.at[upd_ids].set(best_desc, mode="drop"),
+    )
+
+    # --- normal + scale-invariance depths --------------------------------
+    centers = jax.vmap(se3.se3_inverse)(state.kfs.T_cw[kf_ids])[:, :3, 3]  # (Wt,3)
+    Xl = jnp.concatenate([pts.pos[local_ids], jnp.zeros((1, 3), jnp.float32)], 0)
+    Xobs = Xl[rows]  # (Wt*K, 3)
+    v = Xobs - centers[w_flat]
+    d = jnp.linalg.norm(v, axis=-1)
+    vn = v / jnp.maximum(d, 1e-6)[:, None]
+    nsum = jnp.zeros((N + 1, 3), jnp.float32).at[rows].add(
+        vn * keep[:, None], mode="drop"
+    )[:N]
+    normal_new = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1), 1e-6)[:, None]
+
+    # Reference depth band from the NEWEST observation (the reference
+    # uses the reference keyframe's observation, MapPoint.cc:428-440;
+    # the newest observer is the live stand-in).
+    ref_uid = jnp.full((N + 1,), -1, jnp.int32).at[rows].max(
+        jnp.where(keep, uid_flat, -1), mode="drop"
+    )[:N]
+    is_ref = keep & (uid_flat == ref_uid[jnp.clip(ss, 0, N - 1)]) & (ss < N)
+    ref_rows = jnp.where(is_ref, ss, N)
+    dist_ref = jnp.zeros((N + 1,), jnp.float32).at[ref_rows].set(d, mode="drop")[:N]
+    level_ref = jnp.zeros((N + 1,), jnp.int32).at[ref_rows].set(
+        level_flat, mode="drop"
+    )[:N]
+    lv = jnp.clip(level_ref, 0, cfg.orb.n_levels - 1)
+    max_d = dist_ref * sf[lv]
+    min_d = max_d / sf[-1]
+    upd_d = upd & (dist_ref > 1e-6)
+    upd_d_ids = jnp.where(upd_d, local_ids, P)
+    pts = pts._replace(
+        normal=pts.normal.at[upd_ids].set(normal_new, mode="drop"),
+        max_dist=pts.max_dist.at[upd_d_ids].set(max_d, mode="drop"),
+        min_dist=pts.min_dist.at[upd_d_ids].set(min_d, mode="drop"),
+    )
+    return state._replace(points=pts)
+
+
+# ---------------------------------------------------------------------------
+# The per-keyframe local mapping pass
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
-    """Run one triangulate + local-BA + culling pass anchored at the
-    newest keyframe (the LocalMapping thread's per-KF sequence,
-    LocalMapping.cc:89-125)."""
+    """Run one triangulate + fuse + local-BA + maintenance + culling pass
+    anchored at the newest keyframe (the LocalMapping thread's per-KF
+    sequence, LocalMapping.cc:89-125)."""
     if cfg.map.triangulate_new_points:
         state = create_new_map_points(state, cfg)
+    if cfg.map.fuse_neighbors > 0:
+        state = fuse_map_points(state, cfg)
     W = cfg.map.local_ba_window
+    A = cfg.map.local_ba_fixed_anchors
     N = cfg.map.local_ba_max_points
     P = state.points.pos.shape[0]
     F = state.kfs.valid.shape[0]
     K = state.kfs.uv.shape[1]
     sf = scale_factors(cfg.orb)
+    last = state.last_kf
 
-    # ---- window: newest W keyframes --------------------------------------
-    kf_ids_raw = state.n_kfs - W + jnp.arange(W)  # oldest..newest
-    in_window = kf_ids_raw >= 0
-    kf_ids = jnp.clip(kf_ids_raw, 0, F - 1)
-    # Gauge: fix the oldest valid KF in the window (and every slot that
-    # falls before keyframe 0). With <=2 KFs everything is fixed (no-op).
-    first_pos = jnp.argmax(in_window)  # first True
-    fixed = (~in_window) | (jnp.arange(W) == first_pos)
+    # ---- window: the newest KF + its best covisible neighbors ------------
+    # (Optimizer.cc:624-636 lLocalKeyFrames; round 1 used a recency
+    # window, which is wrong after loop closures/revisits.)
+    covrow = covisibility_row(
+        state.kfs.kp_point, state.kfs.valid.astype(jnp.float32), last, P
+    ).astype(jnp.float32)
+    sc = jnp.where(state.kfs.valid, covrow, -1.0).at[last].set(jnp.float32(1e9))
+    top_sc, kf_ids = jax.lax.top_k(sc, W)
+    in_window = top_sc > 0.0
 
     kp_point = state.kfs.kp_point[kf_ids]  # (W, K)
     kp_point = jnp.where(in_window[:, None], kp_point, -1)
@@ -151,28 +470,58 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
     ].add(1.0, mode="drop")
     present = present * state.points.valid
     _, local_ids = jax.lax.top_k(present, N)  # (N,) point ids (desc by count)
+    point_valid = present[local_ids] > 0
     slot_of_point = jnp.full((P + 1,), -1, jnp.int32).at[local_ids].set(
         jnp.arange(N, dtype=jnp.int32)
     )
-    point_valid = present[local_ids] > 0
 
-    slot = slot_of_point[jnp.where(kp_point >= 0, kp_point, P)]  # (W, K)
+    # ---- fixed anchors: outside-window observers of the local points ------
+    # (Optimizer.cc:661-682 lFixedCameras; they constrain the points but
+    # contribute no pose block.)
+    presentN = jnp.zeros((P + 1,), jnp.float32).at[
+        jnp.where(point_valid, local_ids, P)
+    ].set(1.0, mode="drop")
+    presentN = presentN.at[P].set(0.0)  # sentinel bucket must not count
+    obs_cnt_kf = jnp.sum(
+        presentN[jnp.where(state.kfs.kp_point >= 0, state.kfs.kp_point, P)]
+        * state.kfs.kp_valid,
+        axis=1,
+    )  # (F,)
+    in_win_f = jnp.zeros((F,), bool).at[kf_ids].set(in_window, mode="drop")
+    anchor_sc = jnp.where(state.kfs.valid & ~in_win_f, obs_cnt_kf, -1.0)
+    a_sc, anchor_ids = jax.lax.top_k(anchor_sc, A)
+    anchor_ok = a_sc > 0
+
+    all_ids = jnp.concatenate([kf_ids, anchor_ids])
+    row_ok = jnp.concatenate([in_window, anchor_ok])
+    # Gauge: anchors are fixed. If there are none (early map), fix the
+    # oldest keyframe in the window.
+    any_anchor = jnp.any(anchor_ok)
+    uid_w = jnp.where(in_window, state.kfs.uid[kf_ids], jnp.int32(2 ** 30))
+    oldest_pos = jnp.argmin(uid_w)
+    fix_gauge = (jnp.arange(W) == oldest_pos) & (~any_anchor)
+    fixed = jnp.concatenate([
+        fix_gauge | (~in_window), jnp.ones((A,), bool)
+    ])
+
+    kp_point_all = jnp.where(row_ok[:, None], state.kfs.kp_point[all_ids], -1)
+    slot = slot_of_point[jnp.where(kp_point_all >= 0, kp_point_all, P)]  # (W+A, K)
 
     # ---- observations -----------------------------------------------------
-    lv = jnp.clip(state.kfs.level[kf_ids], 0, cfg.orb.n_levels - 1)
+    lv = jnp.clip(state.kfs.level[all_ids], 0, cfg.orb.n_levels - 1)
     inv_sigma2 = 1.0 / (sf[lv] ** 2)
-    depth = state.kfs.depth[kf_ids]
-    uv = state.kfs.uv[kf_ids]
+    depth = state.kfs.depth[all_ids]
+    uv = state.kfs.uv[all_ids]
     z_safe = jnp.where(depth > 1e-6, depth, 1.0)
     ur = jnp.where(depth > 1e-6, uv[..., 0] - cfg.camera.depth_bf / z_safe, -1.0)
     obs_uvr = jnp.concatenate([uv, ur[..., None]], axis=-1)
 
     prob = BAProblem(
-        T_cw=state.kfs.T_cw[kf_ids],
+        T_cw=state.kfs.T_cw[all_ids],
         fixed=fixed,
         points=state.points.pos[local_ids],
         point_valid=point_valid,
-        point_slot=jnp.where(state.kfs.kp_valid[kf_ids], slot, -1),
+        point_slot=jnp.where(state.kfs.kp_valid[all_ids], slot, -1),
         obs_uvr=obs_uvr,
         inv_sigma2=inv_sigma2,
         is_stereo=depth > 1e-6,
@@ -180,10 +529,12 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
     res = local_bundle_adjust(prob, cfg.camera, cfg.optimizer)
 
     # ---- write back -------------------------------------------------------
-    free = (~fixed) & in_window
+    free = (~fixed) & row_ok
     kfs = state.kfs
     new_T = jnp.where(free[:, None, None], res.T_cw, prob.T_cw)
-    kfs = kfs._replace(T_cw=kfs.T_cw.at[kf_ids].set(new_T))
+    kfs = kfs._replace(
+        T_cw=kfs.T_cw.at[jnp.where(row_ok, all_ids, F)].set(new_T, mode="drop")
+    )
 
     pts = state.points
     new_pos = jnp.where(point_valid[:, None], res.points, prob.points)
@@ -194,30 +545,54 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
     # ---- observation pruning (erase BA outliers) --------------------------
     had_obs = prob.point_slot >= 0
     pruned = had_obs & (~res.inlier)
-    new_kp_point = jnp.where(pruned, -1, kp_point)
-    kfs = kfs._replace(kp_point=kfs.kp_point.at[kf_ids].set(
-        jnp.where(in_window[:, None], new_kp_point, state.kfs.kp_point[kf_ids])
+    new_kp_point = jnp.where(pruned, -1, kp_point_all)
+    kfs = kfs._replace(kp_point=kfs.kp_point.at[jnp.where(row_ok, all_ids, F)].set(
+        jnp.where(row_ok[:, None], new_kp_point, state.kfs.kp_point[all_ids]),
+        mode="drop",
     ))
     # Decrement n_obs for pruned observations.
-    pruned_ids = jnp.where(pruned, kp_point, P).reshape(-1)
+    pruned_ids = jnp.where(pruned & row_ok[:, None], kp_point_all, P).reshape(-1)
     n_obs = pts.n_obs.at[pruned_ids].add(-1, mode="drop")
     pts = pts._replace(n_obs=jnp.maximum(n_obs, 0))
-
     state = state._replace(points=pts, kfs=kfs)
+
+    # ---- map-point maintenance -------------------------------------------
+    slot_after = slot_of_point[
+        jnp.where(kfs.kp_point[all_ids] >= 0, kfs.kp_point[all_ids], P)
+    ]
+    state = _refresh_local_points(
+        state, all_ids, row_ok, local_ids, slot_after, point_valid, cfg
+    )
+
     state = cull_points(state, cfg)
     return cull_keyframes(state, cfg)
 
+
+# ---------------------------------------------------------------------------
+# Culling (with slot release)
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
     """KeyFrameCulling (LocalMapping.cc:764-860): a keyframe is redundant
     when >= 90% of its tracked map points are observed by at least 3
-    other keyframes. Applied to the recent window excluding the newest
-    two (the reference culls local covisible keyframes of the new KF)."""
+    other keyframes. Candidates are the covisible neighbors of the
+    newest keyframe (as in the reference), excluding the origin and the
+    two newest. Culled keyframes record their spanning-tree parent
+    (strongest surviving covisible neighbor — KeyFrame::SetBadFlag
+    parent reassignment, KeyFrame.cc:558-620) so trajectory references
+    resolve through them, and their slots return to the allocator."""
     kfs = state.kfs
-    P = state.points.pos.shape[0]
+    pts0 = state.points
+    P = pts0.pos.shape[0]
+    F = kfs.valid.shape[0]
+    covis = covisibility(kfs.kp_point, kfs.valid, P)  # (F, F) int32
+    last = state.last_kf
+    uid = kfs.uid
+    last_uid = uid[last]
+
     ids = jnp.where(kfs.kp_point >= 0, kfs.kp_point, P)
-    obs = state.points.n_obs
+    obs = pts0.n_obs
     obs_of = jnp.where(ids < P, obs[jnp.clip(ids, 0, P - 1)], 0)  # (F, K)
     tracked = (kfs.kp_point >= 0) & kfs.kp_valid
     redundant_obs = tracked & (obs_of >= cfg.map.min_observations + 1)
@@ -225,32 +600,64 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
     ratio = jnp.sum(redundant_obs.astype(jnp.float32), axis=1) / jnp.maximum(
         n_tracked, 1.0
     )
-    kf_idx = jnp.arange(kfs.valid.shape[0])
-    in_window = (kf_idx >= state.n_kfs - cfg.map.local_ba_window) & (
-        kf_idx < state.n_kfs - 2
-    ) & (kf_idx > 0)
-    cull = kfs.valid & in_window & (ratio > cfg.map.kf_redundancy_ratio) & (
-        n_tracked > 10
+    cand = (
+        kfs.valid
+        & (covis[last] > 0)
+        & (uid > 0)
+        & (uid < last_uid - 1)
     )
+    cull = cand & (ratio > cfg.map.kf_redundancy_ratio) & (n_tracked > 10)
+
+    # Spanning-tree parent: strongest covisible SURVIVOR.
+    Wsurv = covis * (kfs.valid & ~cull)[None, :].astype(jnp.int32)
+    parent = jnp.argmax(Wsurv, axis=1).astype(jnp.int32)
+    has_parent = jnp.max(Wsurv, axis=1) > 0
+    parent = jnp.where(has_parent, parent, last)
+    T_par_inv = jax.vmap(se3.se3_inverse)(kfs.T_cw[parent])  # (F, 4, 4)
+    T_rel = jnp.einsum("fij,fjk->fik", kfs.T_cw, T_par_inv)
+
+    # Re-point orphaned map points (whose ref_kf slot is culled) at a
+    # surviving observer so loop corrections keep carrying them.
+    surv_obs = jnp.where(
+        (kfs.valid & ~cull)[:, None] & tracked, kfs.kp_point, P
+    ).reshape(-1)
+    surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
+        jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
+        mode="drop",
+    )[:P]
+    ref_culled = (pts0.ref_kf >= 0) & cull[jnp.clip(pts0.ref_kf, 0, F - 1)]
+    new_ref = jnp.where(
+        ref_culled, jnp.where(surv_ref >= 0, surv_ref, last), pts0.ref_kf
+    )
+
     # Decrement observation counts of the culled keyframes' points and
     # clear their associations.
     culled_ids = jnp.where(cull[:, None] & tracked, kfs.kp_point, P)
-    n_obs = state.points.n_obs.at[culled_ids.reshape(-1)].add(-1, mode="drop")
-    pts = state.points._replace(n_obs=jnp.maximum(n_obs, 0))
+    n_obs = pts0.n_obs.at[culled_ids.reshape(-1)].add(-1, mode="drop")
+    pts = pts0._replace(n_obs=jnp.maximum(n_obs, 0), ref_kf=new_ref)
     kfs = kfs._replace(
         valid=kfs.valid & ~cull,
         kp_point=jnp.where(cull[:, None], -1, kfs.kp_point),
+        parent_uid=jnp.where(cull, uid[parent], kfs.parent_uid),
+        T_rel_parent=jnp.where(cull[:, None, None], T_rel, kfs.T_rel_parent),
     )
-    return state._replace(points=pts, kfs=kfs)
+    return state._replace(
+        points=pts, kfs=kfs,
+        n_kfs=state.n_kfs - jnp.sum(cull.astype(jnp.int32)),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def cull_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     """MapPointCulling (LocalMapping.cc:270-344): drop points with poor
     found/visible ratio, and young points that failed to gather
-    observations."""
+    observations. Culled points release their slots: every stale
+    keypoint association is cleared so reuse cannot rebind it."""
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import clear_point_refs
+
     pts = state.points
-    age = state.n_kfs - 1 - pts.ref_kf  # keyframes since creation
+    cur_uid = state.kfs.uid[state.last_kf]
+    age = cur_uid - pts.first_kf_uid  # keyframes since creation (uid units)
     visible = jnp.maximum(pts.n_visible, 1)
     ratio = pts.n_found.astype(jnp.float32) / visible.astype(jnp.float32)
     bad_ratio = (pts.n_visible >= 8) & (ratio < cfg.map.min_found_ratio)
@@ -259,4 +666,9 @@ def cull_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     bad_young = (age >= 3) & (age <= 4) & (pts.n_obs < cfg.map.min_observations)
     lonely = pts.n_obs <= 0
     cull = pts.valid & (bad_ratio | bad_young | lonely)
-    return state._replace(points=pts._replace(valid=pts.valid & ~cull))
+    kp_point = clear_point_refs(state.kfs.kp_point, cull)
+    return state._replace(
+        points=pts._replace(valid=pts.valid & ~cull),
+        kfs=state.kfs._replace(kp_point=kp_point),
+        n_points=state.n_points - jnp.sum(cull.astype(jnp.int32)),
+    )

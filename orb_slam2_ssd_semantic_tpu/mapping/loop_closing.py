@@ -52,9 +52,12 @@ class LoopCloser:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         F = cfg.map.max_keyframes
-        self.consistency: dict = {}  # candidate region -> consecutive count
+        # Consistency chains: [(covis_group_set, consecutive_count)] from
+        # the previous keyframe's candidates (LoopClosing.cc:200-290
+        # mvConsistentGroups).
+        self.prev_groups: list = []
         self.loops: list = []  # accepted (kf_i, kf_j, T_ji)
-        self.last_loop_kf = -1
+        self.last_loop_uid = -(10 ** 9)
         # Place-recognition backend: DBoW2 vocabulary (txt/npz by suffix,
         # like the reference vocabulary boot, System.cc:120-136) when
         # configured, else the flat random codebook.
@@ -110,29 +113,33 @@ class LoopCloser:
 
     def on_keyframe(self, state: SlamState, kf_id: int):
         """Update the BoW database and attempt loop detection/closure.
-        Returns (state, closed: bool)."""
+        `kf_id` is the SLOT of the just-inserted keyframe (recency is
+        measured in uids — slots are reused). Returns (state, closed)."""
         cfg = self.cfg
         scores = self._add_and_score(state, kf_id)
+        kf_uid = int(state.kfs.uid[kf_id])
 
-        if kf_id < cfg.loop.min_kfs_before_loop or (
-            kf_id - self.last_loop_kf < cfg.loop.min_kfs_before_loop
+        if kf_uid < cfg.loop.min_kfs_before_loop or (
+            kf_uid - self.last_loop_uid < cfg.loop.min_kfs_before_loop
         ):
             return state, False
 
-        cand = self._detect(state, kf_id, scores)
-        if cand is None:
-            return state, False
-        ok, T_ji, n_inl = self._estimate_loop_transform(state, kf_id, cand)
-        if not ok:
-            return state, False
-        state = self._correct(state, kf_id, cand, T_ji)
-        self.loops.append((cand, kf_id, np.asarray(T_ji)))
-        self.last_loop_kf = kf_id
-        return state, True
+        # Every consistent candidate gets a geometric attempt — the
+        # reference iterates Sim3 RANSAC over all of
+        # mvpEnoughConsistentCandidates (LoopClosing.cc:304-543); the
+        # geometric check, not the appearance ranking, picks the loop.
+        for cand in self._detect(state, kf_id, kf_uid, scores):
+            ok, T_ji, n_inl = self._estimate_loop_transform(state, kf_id, cand)
+            if ok:
+                state = self._correct(state, kf_id, cand, T_ji)
+                self.loops.append((cand, kf_id, np.asarray(T_ji)))
+                self.last_loop_uid = kf_uid
+                return state, True
+        return state, False
 
     # ---- detection --------------------------------------------------------
 
-    def _detect(self, state: SlamState, kf_id: int, scores: np.ndarray):
+    def _detect(self, state: SlamState, kf_id: int, kf_uid: int, scores: np.ndarray):
         cfg = self.cfg
         F = scores.shape[0]
         W = np.asarray(covisibility_row(
@@ -146,25 +153,40 @@ class LoopCloser:
         exclude |= neighbors
         # Also exclude temporally-adjacent keyframes (they share the view
         # trivially; the reference excludes via covisibility groups).
-        lo = max(0, kf_id - cfg.loop.min_kfs_before_loop)
-        exclude[lo : kf_id + 1] = True
+        uid = np.asarray(state.kfs.uid)
+        exclude |= uid > kf_uid - cfg.loop.min_kfs_before_loop
 
         s = np.where(np.asarray(state.kfs.valid) & (~exclude), scores, -1.0)
-        ok = s >= max(min_score, 0.0)
+        ok = s >= max(min_score, 1e-9)
         if not ok.any():
-            self.consistency = {}
-            return None
-        best = int(np.argmax(s))
-        # Consecutive-consistency requirement (LoopClosing.cc:200-290):
-        # the same region (candidate +-2 keyframes) must be detected in
-        # `covisibility_consistency_th` consecutive keyframes.
-        region = best // 3
-        self.consistency = {
-            region: self.consistency.get(region, 0) + 1
-        }
-        if self.consistency[region] < cfg.loop.covisibility_consistency_th:
-            return None
-        return best
+            self.prev_groups = []
+            return []
+
+        # Covisibility-group consistency (LoopClosing.cc:200-290): each
+        # candidate expands to its covisibility group; candidates are
+        # accepted only after `covisibility_consistency_th` consecutive
+        # keyframes produced groups chained by shared members. ALL
+        # accepted candidates are returned (mvpEnoughConsistentCandidates)
+        # for geometric verification, best score first.
+        cand_ids = np.nonzero(ok)[0]
+        cand_ids = cand_ids[np.argsort(-s[cand_ids])][:10]
+        Wfull = np.asarray(covisibility(
+            state.kfs.kp_point, state.kfs.valid, state.points.pos.shape[0]
+        ))
+        th = cfg.map.covis_weight_threshold
+        current_groups = []
+        accepted = []
+        for c in cand_ids:
+            group = set(np.nonzero(Wfull[c] >= th)[0].tolist()) | {int(c)}
+            count = 0
+            for pg, pc in self.prev_groups:
+                if group & pg:
+                    count = max(count, pc + 1)
+            current_groups.append((group, count))
+            if count >= cfg.loop.covisibility_consistency_th:
+                accepted.append(int(c))
+        self.prev_groups = current_groups
+        return accepted
 
     # ---- Sim3 / rigid estimation ------------------------------------------
 
@@ -226,8 +248,14 @@ class LoopCloser:
             covis, state.kfs.valid, threshold=100,
             max_edges=4 * F, T_cw=T_before,
             extra_edges=[(cand, kf_id, 500.0, np.asarray(T_ji))],
+            uid=state.kfs.uid,
         )
-        T_after = optimize_pose_graph(T_before, state.kfs.valid, graph)
+        # Gauge: the oldest live keyframe (slot 0 can be reused).
+        uid_np = np.asarray(state.kfs.uid)
+        valid_np = np.asarray(state.kfs.valid)
+        origin = int(np.argmin(np.where(valid_np & (uid_np >= 0), uid_np, 2 ** 30)))
+        fixed = jnp.arange(F) == origin
+        T_after = optimize_pose_graph(T_before, state.kfs.valid, graph, fixed=fixed)
 
         # Carry each map point rigidly with its reference keyframe
         # (LoopClosing.cc:606-640): p' = inv(T'_ref) @ T_ref @ p.
@@ -243,6 +271,18 @@ class LoopCloser:
         )
         kfs = state.kfs._replace(T_cw=T_after)
         state = state._replace(points=pts, kfs=kfs)
+
+        # SearchAndFuse (LoopClosing.cc:791-824): with the sides of the
+        # loop now aligned, project landmarks across it so both sides
+        # share observations (covisibility edges form; duplicates merge).
+        from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import fuse_pair
+
+        state = fuse_pair(state, cand, kf_id, cfg)
+        covis_np = np.asarray(covis)
+        valid_np2 = np.asarray(state.kfs.valid)
+        for n in np.argsort(-covis_np[cand])[:3]:
+            if covis_np[cand, n] > 0 and valid_np2[n]:
+                state = fuse_pair(state, int(n), kf_id, cfg)
 
         # Full-map bundle adjustment seeded by the pose-graph solution
         # (the GBA thread the reference spawns in LoopClosing.cc:773-779;

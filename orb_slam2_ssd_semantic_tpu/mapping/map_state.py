@@ -4,11 +4,23 @@ map points with validity masks.
 This replaces the reference's mutex-guarded heap-object graph
 (perfect/src/Map.cc, KeyFrame.cc, MapPoint.cc — SURVEY.md §2.1 L2) with
 the functional idiom from SURVEY.md §7: one `SlamState` value threaded
-through jitted step functions. Growth is an allocation cursor into
-pre-sized arrays; deletion is mask clearing; "pointers" are int32 ids
-(-1 = null). The covisibility graph is derived on demand from the
-kp->point association tables rather than maintained as mutable edge
-lists (KeyFrame::UpdateConnections equivalent, see covisibility()).
+through jitted step functions. Growth allocates the lowest-index free
+slots (erase+reuse, like the reference's KeyFrame/MapPoint deletion —
+`Map::EraseMapPoint` Map.cc:38-47 — rather than a monotonic cursor, so
+long runs never exhaust capacity); deletion is mask clearing plus
+reference clearing; "pointers" are int32 slot ids (-1 = null).
+
+Keyframes additionally carry a monotonically-increasing `uid` (the
+reference's KeyFrame::mnId): slots are reused, uids never are. Temporal
+ordering (which KF is newest, culling ages, loop-closure gating) uses
+uids; indexing uses slots. When a keyframe is culled its slot records
+the spanning-tree parent (`parent_uid`, `T_rel_parent`) so trajectory
+entries referenced to it resolve through the parent exactly like the
+reference's SaveTrajectoryTUM spanning-tree walk (System.cc:487-493).
+
+The covisibility graph is derived on demand from the kp->point
+association tables rather than maintained as mutable edge lists
+(KeyFrame::UpdateConnections equivalent, see covisibility()).
 """
 
 from __future__ import annotations
@@ -33,7 +45,10 @@ class MapPoints(NamedTuple):
     n_obs: jnp.ndarray  # (P,) int32 keyframe observation count
     n_visible: jnp.ndarray  # (P,) int32 times predicted visible in tracking
     n_found: jnp.ndarray  # (P,) int32 times actually matched in tracking
-    ref_kf: jnp.ndarray  # (P,) int32 creating keyframe id
+    ref_kf: jnp.ndarray  # (P,) int32 reference keyframe SLOT
+    first_kf_uid: jnp.ndarray  # (P,) int32 uid of the creating keyframe
+    #   (MapPoint::mnFirstKFid, used for culling age — uids are the
+    #   monotonic time axis; slots are not).
     valid: jnp.ndarray  # (P,) bool
 
 
@@ -47,17 +62,26 @@ class KeyFrames(NamedTuple):
     desc: jnp.ndarray  # (F, K, 8) uint32
     depth: jnp.ndarray  # (F, K) float32 keypoint depth (0 = none)
     kp_valid: jnp.ndarray  # (F, K) bool
-    kp_point: jnp.ndarray  # (F, K) int32 map-point id per keypoint (-1 none)
+    kp_point: jnp.ndarray  # (F, K) int32 map-point slot per keypoint (-1 none)
     frame_id: jnp.ndarray  # (F,) int32 source frame index
     stamp: jnp.ndarray  # (F,) float32 timestamp
+    uid: jnp.ndarray  # (F,) int32 global insertion counter (-1 = never used;
+    #   never reused — the reference's KeyFrame::mnId)
+    parent_uid: jnp.ndarray  # (F,) int32 spanning-tree parent uid, recorded
+    #   when this slot's keyframe is CULLED (-1 while live). With
+    #   T_rel_parent this reproduces the reference's culled-KF trajectory
+    #   resolution (Tcr chains, System.cc:487-493).
+    T_rel_parent: jnp.ndarray  # (F, 4, 4) T_cw(this) @ inv(T_cw(parent)) at cull
     valid: jnp.ndarray  # (F,) bool
 
 
 class SlamState(NamedTuple):
     points: MapPoints
     kfs: KeyFrames
-    n_points: jnp.ndarray  # () int32 allocation cursor
-    n_kfs: jnp.ndarray  # () int32 allocation cursor
+    n_points: jnp.ndarray  # () int32 — count of LIVE map points
+    n_kfs: jnp.ndarray  # () int32 — count of LIVE keyframes
+    last_kf: jnp.ndarray  # () int32 — slot of the newest keyframe
+    next_uid: jnp.ndarray  # () int32 — next keyframe uid to assign
 
 
 def empty_state(cfg: SlamConfig) -> SlamState:
@@ -74,6 +98,7 @@ def empty_state(cfg: SlamConfig) -> SlamState:
         n_visible=jnp.zeros((P,), jnp.int32),
         n_found=jnp.zeros((P,), jnp.int32),
         ref_kf=jnp.full((P,), -1, jnp.int32),
+        first_kf_uid=jnp.full((P,), -1, jnp.int32),
         valid=jnp.zeros((P,), bool),
     )
     kfs = KeyFrames(
@@ -87,9 +112,42 @@ def empty_state(cfg: SlamConfig) -> SlamState:
         kp_point=jnp.full((F, K), -1, jnp.int32),
         frame_id=jnp.full((F,), -1, jnp.int32),
         stamp=jnp.zeros((F,), jnp.float32),
+        uid=jnp.full((F,), -1, jnp.int32),
+        parent_uid=jnp.full((F,), -1, jnp.int32),
+        T_rel_parent=jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1)),
         valid=jnp.zeros((F,), bool),
     )
-    return SlamState(points, kfs, jnp.int32(0), jnp.int32(0))
+    return SlamState(
+        points, kfs,
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    )
+
+
+def alloc_slots(valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(k,) lowest-index FREE slots of a validity mask, in ascending
+    order; entries equal to capacity mean "no free slot" (callers scatter
+    with mode='drop', so overflow allocations are silently rejected).
+
+    This is the erase+reuse allocator that replaces round 1's monotonic
+    cursor: culled slots return to circulation, so the map runs
+    indefinitely within fixed capacity (the reference equivalent is heap
+    delete + new; SURVEY.md §7 hard part 1)."""
+    n = valid.shape[0]
+    score = jnp.where(valid, 0.0, (n - jnp.arange(n)).astype(jnp.float32))
+    top, idx = jax.lax.top_k(score, k)
+    return jnp.where(top > 0.0, idx, n).astype(jnp.int32)
+
+
+def clear_point_refs(kp_point: jnp.ndarray, dead: jnp.ndarray) -> jnp.ndarray:
+    """Clear keypoint->point associations referencing dead points.
+
+    Without this, reusing a culled point's slot would silently rebind
+    every stale reference to the new landmark (the reference's
+    MapPoint::SetBadFlag erases itself from each observing keyframe,
+    MapPoint.cc:184-205)."""
+    P = dead.shape[0]
+    stale = (kp_point >= 0) & dead[jnp.clip(kp_point, 0, P - 1)]
+    return jnp.where(stale, -1, kp_point)
 
 
 @functools.partial(jax.jit, static_argnames=("point_capacity",))
@@ -123,6 +181,9 @@ def covisibility_row(
     present = jnp.zeros((point_capacity + 1,), jnp.float32).at[
         jnp.where(ids >= 0, ids, point_capacity)
     ].set(1.0, mode="drop")
+    # The sentinel bucket collects every INVALID keypoint's write; zero it
+    # or padding slots count as "shared" between all keyframe pairs.
+    present = present.at[point_capacity].set(0.0)
     other = jnp.where(kp_point >= 0, kp_point, point_capacity)
     shared = jnp.sum(present[other], axis=1)  # (F,)
     shared = shared * kf_valid

@@ -213,26 +213,32 @@ def optimize_pose_graph_sim3(
 
 
 def build_graph_arrays(covis, kf_valid, threshold: int, max_edges: int,
-                       T_cw, extra_edges=None):
+                       T_cw, extra_edges=None, uid=None):
     """Host-side edge assembly from a covisibility matrix: spanning
-    chain (consecutive keyframes — the recency analogue of the
-    reference's spanning tree), strong covisibility edges
-    (weight >= 100 in the reference essential graph, Optimizer.cc:1100),
-    plus explicit loop edges. Returns a padded PoseGraph."""
+    chain (keyframes consecutive in INSERTION ORDER — slots are reused,
+    so the chain follows uids; the recency analogue of the reference's
+    spanning tree), strong covisibility edges (weight >= 100 in the
+    reference essential graph, Optimizer.cc:1100), plus explicit loop
+    edges. Returns a padded PoseGraph."""
     import numpy as np
 
     W = np.asarray(covis)
     v = np.asarray(kf_valid)
     T = np.asarray(T_cw)
     F = len(v)
+    if uid is None:
+        order = [i for i in range(F) if v[i]]
+    else:
+        u = np.asarray(uid)
+        live = [i for i in range(F) if v[i] and u[i] >= 0]
+        order = sorted(live, key=lambda i: u[i])
     edges = []
-    for i in range(1, F):
-        if v[i] and v[i - 1]:
-            edges.append((i - 1, i, max(W[i - 1, i], 1.0)))
+    for a, b in zip(order[:-1], order[1:]):
+        edges.append((a, b, max(W[a, b], 1.0)))
     for i in range(F):
         if not v[i]:
             continue
-        for j in range(i + 2, F):
+        for j in range(i + 1, F):
             if v[j] and W[i, j] >= threshold:
                 edges.append((i, j, W[i, j]))
     # Normal edges measure the CURRENT relative poses; loop edges carry

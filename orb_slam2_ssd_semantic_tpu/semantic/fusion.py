@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, SemanticConfig
 from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
@@ -95,27 +96,122 @@ def fuse_depth_window(
     return centroids, sizes, det.scores, det.classes, good
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_iters"))
+def _camera_cloud(depth_img, cam: CameraConfig):
+    h, w = depth_img.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    zc = depth_img
+    xc = (xs - cam.cx) / cam.fx * zc
+    yc = (ys - cam.cy) / cam.fy * zc
+    return jnp.stack([xc, yc, zc], -1)  # (H, W, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def estimate_normals(depth_img: jnp.ndarray, cam: CameraConfig):
+    """Organized surface normals: cross product of the organized cloud's
+    horizontal/vertical tangents — the TPU analogue of PCL's
+    integral-image normal estimation (MergeSG::estimateNormal,
+    MergeSG.cc:322-336): both approximate the local tangent plane
+    straight from the image grid, no neighbor search.
+
+    Returns (normals (H, W, 3) unit, valid (H, W))."""
+    P = _camera_cloud(depth_img, cam)
+    dx = jnp.roll(P, -1, axis=1) - jnp.roll(P, 1, axis=1)
+    dy = jnp.roll(P, -1, axis=0) - jnp.roll(P, 1, axis=0)
+    n = jnp.cross(dy, dx)
+    nn = jnp.linalg.norm(n, axis=-1)
+    valid = (
+        (depth_img > 1e-3)
+        & (jnp.abs(dx[..., 2]) < 0.1)
+        & (jnp.abs(dy[..., 2]) < 0.1)
+        & (nn > 1e-9)
+    )
+    n = n / jnp.maximum(nn, 1e-9)[..., None]
+    # Orient toward the camera (z component negative in camera frame).
+    flip = jnp.sum(n * P, axis=-1) > 0
+    n = jnp.where(flip[..., None], -n, n)
+    return n, valid
+
+
+# 26 quantization directions for plane-normal binning: all sign/axis
+# combinations of {-1,0,1}^3 minus the origin, normalized.
+_DIRS = np.array(
+    [
+        (i, j, k)
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+        for k in (-1, 0, 1)
+        if (i, j, k) != (0, 0, 0)
+    ],
+    np.float32,
+)
+_DIRS /= np.linalg.norm(_DIRS, axis=1, keepdims=True)
+_N_DIRS = len(_DIRS)  # 26
+_D_BINS = 128  # plane-offset bins
+_D_RANGE = 8.0  # meters
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def segment_planes(
+    depth_img: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: SemanticConfig = SemanticConfig(),
+):
+    """Organized multi-plane segmentation (MergeSG::segmentPlanes,
+    MergeSG.cc:338-365, PCL OrganizedMultiPlaneSegmentation equivalent):
+    every pixel votes its local plane (quantized normal direction x
+    plane offset d = n.p) into a (26, 128) Hough-style accumulator; bins
+    with >= seg_min_plane_inliers supporters are planes and their
+    supporting pixels are masked out. One histogram pass instead of
+    region growing — same angular/distance-threshold semantics, fully
+    parallel.
+
+    Returns (plane_mask (H, W) bool, normals, normal_valid)."""
+    normals, nvalid = estimate_normals(depth_img, cam)
+    P = _camera_cloud(depth_img, cam)
+    dirs = jnp.asarray(_DIRS)  # (26, 3)
+    dots = jnp.einsum("hwc,dc->hwd", normals, dirs)
+    dbin = jnp.argmax(dots, axis=-1)  # (H, W)
+    # Angular gate ~ the comparator's angular threshold (2-3 deg in PCL;
+    # quantization to 26 dirs is coarser — the offset bin disambiguates).
+    ang_ok = jnp.max(dots, axis=-1) > 0.9
+    off = jnp.sum(normals * P, axis=-1)  # signed plane offset
+    obin = jnp.clip(
+        ((off / _D_RANGE + 1.0) * 0.5 * _D_BINS).astype(jnp.int32), 0, _D_BINS - 1
+    )
+    ok = nvalid & ang_ok
+    flat_bin = jnp.where(ok, dbin * _D_BINS + obin, _N_DIRS * _D_BINS)
+    hist = jnp.zeros((_N_DIRS * _D_BINS + 1,), jnp.int32).at[
+        flat_bin.reshape(-1)
+    ].add(1)
+    is_plane_bin = hist >= cfg.seg_min_plane_inliers
+    plane_mask = ok & is_plane_bin[flat_bin]
+    return plane_mask, normals, nvalid
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg", "n_iters"))
 def segment_objects(
     depth_img: jnp.ndarray,
+    cam: CameraConfig = CameraConfig(),
     cfg: SemanticConfig = SemanticConfig(),
     n_iters: int = 64,
 ):
-    """Object-candidate segmentation on the organized depth image:
+    """Object-candidate segmentation on the organized depth image
+    (MergeSG::segment, MergeSG.cc:295-408):
 
-    1. connected components over depth-continuous valid pixels (iterated
-       4-neighbor label min-propagation — the dense-array equivalent of
-       PCL's euclidean cluster extraction, MergeSG.cc:367-408);
-    2. per-component plane test: components that are large (>= the
-       reference's 10000-inlier plane gate, MergeSG.cc:29-31) AND
-       geometrically thin (smallest covariance eigenvalue ~ plane
-       thickness) are removed as walls/floor (segmentPlanes equivalent);
-    3. small fragments below the cluster-size gate are dropped.
+    1. organized multi-plane segmentation removes walls/floor/desk
+       surfaces (segment_planes above);
+    2. connected components over the remaining depth-continuous pixels
+       (iterated 4-neighbor label min-propagation — the dense-array
+       equivalent of PCL's euclidean cluster comparator with the
+       reference's 0.01 m tolerance scaled to depth noise);
+    3. fragments below the cluster-size gate are dropped.
 
     Returns labels (H, W) int32 with -1 = background/plane.
     """
     h, w = depth_img.shape
-    valid = depth_img > 1e-3
+    plane_mask, _, _ = segment_planes(depth_img, cam, cfg)
+    valid = (depth_img > 1e-3) & ~plane_mask
     idx = (jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) + 1) * valid
 
     def prop(_, lab):
@@ -129,37 +225,12 @@ def segment_objects(
 
     labels = jax.lax.fori_loop(0, n_iters, prop, idx)
 
-    # Per-component statistics in a hashed label space (few components;
-    # collisions only merge statistics, erring toward removal).
+    # Size gate over a hashed label space.
     B = 4096
     hid = jnp.where(valid, labels % B, B)
-    flat = hid.reshape(-1)
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    # 3D points in camera frame (unit-focal backprojection is fine for
-    # the planarity test).
-    X = jnp.stack([xs / w * depth_img, ys / h * depth_img, depth_img], -1)
-    ones = jnp.ones((h, w), jnp.float32)
-
-    def comp_sum(val):
-        return jnp.zeros((B + 1,), jnp.float32).at[flat].add(val.reshape(-1))
-
-    n = comp_sum(ones * valid)
-    sums = jnp.stack([comp_sum(X[..., i] * valid) for i in range(3)], -1)  # (B+1, 3)
-    mean = sums / jnp.maximum(n[:, None], 1.0)
-    # Second moments for covariance.
-    mom = jnp.stack(
-        [comp_sum(X[..., i] * X[..., j] * valid) for i in range(3) for j in range(3)],
-        -1,
-    ).reshape(B + 1, 3, 3)
-    cov = mom / jnp.maximum(n[:, None, None], 1.0) - mean[:, :, None] * mean[:, None, :]
-    eig = jnp.linalg.eigvalsh(cov + 1e-9 * jnp.eye(3))
-    thickness = jnp.sqrt(jnp.maximum(eig[:, 0], 0.0))
-
-    is_plane = (n > cfg.seg_min_plane_inliers) & (thickness < 0.02)
-    too_small = n < cfg.seg_min_cluster_size / 4
-    drop = is_plane | too_small
-    keep = ~drop[jnp.clip(hid, 0, B)]
+    n = jnp.zeros((B + 1,), jnp.int32).at[hid.reshape(-1)].add(1)
+    too_small = n < cfg.seg_min_cluster_size // 4
+    keep = ~too_small[jnp.clip(hid, 0, B)]
     return jnp.where(valid & keep, labels - 1, -1)
 
 
@@ -171,39 +242,82 @@ def fuse_segmentation(
     cam: CameraConfig,
     cfg: SemanticConfig = SemanticConfig(),
 ):
-    """MergeSG-style fusion: segment clusters, then assign each detection
-    the cluster with maximal overlap of its box (score IoU-like,
-    MergeSG.cc:270-290), producing world-frame clusters."""
+    """MergeSG fusion: plane-free euclidean clusters, each back-projected
+    to its 2D ROI, greedily matched to detection boxes by the reference's
+    score IoU x avgDiagonal / centerDistance
+    (MergeSG::findMaxIntersectionRelationships + getMatch,
+    MergeSG.cc:164-233, 270-290; each matched cluster is erased so two
+    detections cannot claim one cluster, MergeSG.cc:231)."""
     h, w = depth_img.shape
-    labels = segment_objects(depth_img, cfg)
+    labels = segment_objects(depth_img, cam, cfg)
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     T_wc = se3.se3_inverse(T_cw)
-    zc = depth_img
-    xc = (xs - cam.cx) / cam.fx * zc
-    yc = (ys - cam.cy) / cam.fy * zc
     pts_w = se3.transform_points(
-        T_wc, jnp.stack([xc, yc, zc], -1).reshape(-1, 3)
+        T_wc, _camera_cloud(depth_img, cam).reshape(-1, 3)
     ).reshape(h, w, 3)
 
-    def one(box, score, cls, ok):
-        x1, y1, x2, y2 = box
-        in_box = (xs >= x1) & (xs <= x2) & (ys >= y1) & (ys <= y2) & (labels >= 0)
-        # Dominant cluster label inside the box: mode via histogram over a
-        # hashed label space (labels are raster ids; hash to 1024 bins).
-        hashed = jnp.where(in_box, labels % 1024, 1024)
-        counts = jnp.zeros((1025,), jnp.int32).at[hashed.reshape(-1)].add(1)
-        best_bin = jnp.argmin(jnp.where(jnp.arange(1025) < 1024, -counts, 1))
-        sel = in_box & (labels % 1024 == best_bin)
-        n = jnp.sum(sel)
-        n_safe = jnp.maximum(n, 1.0)
-        centroid = jnp.sum(pts_w * sel[..., None], axis=(0, 1)) / n_safe
-        big = 1e9
-        mins = jnp.min(jnp.where(sel[..., None] > 0, pts_w, big), axis=(0, 1))
-        maxs = jnp.max(jnp.where(sel[..., None] > 0, pts_w, -big), axis=(0, 1))
-        size = jnp.maximum(maxs - mins, 0.0)
-        good = ok & (score > cfg.fusion_prob_threshold) & (n > cfg.seg_min_cluster_size // 4)
-        return centroid, size, good
+    # Per-cluster stats over a hashed label space: pixel ROI (copyPointCloud
+    # pixel coords + getProjectedROI, MergeSG.cc:241-267,452-463) and
+    # world-frame extents.
+    B = 1024
+    hid = jnp.where(labels >= 0, labels % B, B).reshape(-1)
+    big = jnp.float32(1e9)
 
-    centroids, sizes, good = jax.vmap(one)(det.boxes, det.scores, det.classes, det.valid)
+    def smin(v):
+        return jnp.full((B + 1,), big).at[hid].min(v.reshape(-1))
+
+    def smax(v):
+        return jnp.full((B + 1,), -big).at[hid].max(v.reshape(-1))
+
+    def ssum(v):
+        return jnp.zeros((B + 1,)).at[hid].add(v.reshape(-1))
+
+    sel = (labels >= 0).astype(jnp.float32)
+    cnt = ssum(sel)
+    rx1, rx2 = smin(jnp.broadcast_to(xs, (h, w))), smax(jnp.broadcast_to(xs, (h, w)))
+    ry1, ry2 = smin(jnp.broadcast_to(ys, (h, w))), smax(jnp.broadcast_to(ys, (h, w)))
+    wmin = jnp.stack([smin(pts_w[..., i]) for i in range(3)], -1)  # (B+1, 3)
+    wmax = jnp.stack([smax(pts_w[..., i]) for i in range(3)], -1)
+    wsum = jnp.stack([ssum(pts_w[..., i] * sel) for i in range(3)], -1)
+    cluster_ok = (cnt >= cfg.seg_min_cluster_size // 4) & (
+        jnp.arange(B + 1) < B
+    )
+
+    def match_score(box, used):
+        """(B+1,) reference match score of this detection vs every cluster."""
+        x1, y1, x2, y2 = box
+        ix1 = jnp.maximum(x1, rx1)
+        iy1 = jnp.maximum(y1, ry1)
+        ix2 = jnp.minimum(x2, rx2)
+        iy2 = jnp.minimum(y2, ry2)
+        inter = jnp.maximum(ix2 - ix1, 0.0) * jnp.maximum(iy2 - iy1, 0.0)
+        area_b = jnp.maximum((x2 - x1) * (y2 - y1), 1.0)
+        area_r = jnp.maximum((rx2 - rx1) * (ry2 - ry1), 0.0)
+        iou = inter / jnp.maximum(area_b + area_r - inter, 1.0)
+        diag_b = jnp.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        diag_r = jnp.sqrt(
+            jnp.maximum(rx2 - rx1, 0.0) ** 2 + jnp.maximum(ry2 - ry1, 0.0) ** 2
+        )
+        cbx, cby = (x1 + x2) / 2, (y1 + y2) / 2
+        crx, cry = (rx1 + rx2) / 2, (ry1 + ry2) / 2
+        dist = jnp.sqrt((cbx - crx) ** 2 + (cby - cry) ** 2)
+        score = iou * 0.5 * (diag_b + diag_r) / jnp.maximum(dist, 1.0)
+        return jnp.where(cluster_ok & ~used, score, -1.0)
+
+    def greedy(used, inp):
+        box, score, ok = inp
+        s = match_score(box, used)
+        j = jnp.argmax(s)
+        good = ok & (score > cfg.fusion_prob_threshold) & (s[j] > 0.0)
+        used = used.at[j].set(used[j] | good)
+        n_safe = jnp.maximum(cnt[j], 1.0)
+        centroid = wsum[j] / n_safe
+        size = jnp.maximum(wmax[j] - wmin[j], 0.0)
+        return used, (centroid, size, good)
+
+    used0 = jnp.zeros((B + 1,), bool)
+    _, (centroids, sizes, good) = jax.lax.scan(
+        greedy, used0, (det.boxes, det.scores, det.valid)
+    )
     return centroids, sizes, det.scores, det.classes, good

@@ -144,6 +144,41 @@ def make_train_step(model, tx, input_size: int = 300):
     return step
 
 
+def synthetic_detection_batch_device(
+    key,
+    batch: int,
+    size: int = 300,
+    n_classes: int = 3,
+    max_boxes: int = 3,
+):
+    """Device-side twin of `synthetic_detection_batch`: the whole batch is
+    generated with jax.random INSIDE the jitted step chain, so training
+    over the remote-TPU relay ships only a PRNG key per step instead of
+    ~17 MB of images (host->device transfer is the bottleneck there)."""
+    ks = jax.random.split(key, 6)
+    imgs = jax.random.normal(ks[0], (batch, size, size, 3)) * 0.08
+    wh = jax.random.uniform(ks[1], (batch, max_boxes, 2), minval=0.2, maxval=0.5)
+    xy = jax.random.uniform(ks[2], (batch, max_boxes, 2)) * (1.0 - wh)
+    cls = jax.random.randint(ks[3], (batch, max_boxes), 1, n_classes + 1)
+    nbox = jax.random.randint(ks[4], (batch,), 1, max_boxes + 1)
+    valid = jnp.arange(max_boxes)[None, :] < nbox[:, None]
+    boxes = jnp.concatenate([xy, xy + wh], axis=-1)  # (B, G, 4) xyxy in [0,1]
+
+    grid = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size
+    xs = grid[None, None, :]  # (1, 1, S)
+    ys = grid[None, None, :]
+    inx = (xs >= boxes[..., 0:1]) & (xs < boxes[..., 2:3])  # (B, G, S)
+    iny = (ys >= boxes[..., 1:2]) & (ys < boxes[..., 3:4])
+    level = -0.8 + 1.6 * cls.astype(jnp.float32) / n_classes  # (B, G)
+    noise = jax.random.normal(ks[5], (batch, size, size, 3)) * 0.05
+    for g in range(max_boxes):
+        m = iny[:, g, :, None] & inx[:, g, None, :] & valid[:, g, None, None]
+        imgs = jnp.where(
+            m[..., None], level[:, g, None, None, None] + noise, imgs
+        )
+    return imgs, boxes, cls * valid, valid
+
+
 def synthetic_detection_batch(
     rng: np.random.Generator,
     batch: int,

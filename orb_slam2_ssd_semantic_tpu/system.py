@@ -60,11 +60,16 @@ class SlamSystem:
         from orb_slam2_ssd_semantic_tpu.io.tum import rgb_to_gray
 
         gray = rgb_to_gray(rgb) if rgb.ndim == 3 else rgb
-        was_kf_count = self.tracker._n_kfs
+        # Keyframe-insertion detection by uid (counts can stay flat when
+        # an insertion and a cull coincide; uids are monotonic).
+        was_kf_uid = self.tracker._ref_kf_uid
+        was_init = self.tracker.initialized
         self.tracker.allow_new_keyframes = not self.localization_only
         T_cw = self.tracker.process(gray, depth, stamp)
 
-        new_kf = self.tracker._n_kfs > was_kf_count
+        new_kf = self.tracker._ref_kf_uid > was_kf_uid or (
+            self.tracker.initialized and not was_init
+        )
         if new_kf:
             self._on_new_keyframe(rgb, depth, T_cw)
         return T_cw
@@ -274,10 +279,12 @@ class SlamSystem:
         from orb_slam2_ssd_semantic_tpu.geometry import se3
         from orb_slam2_ssd_semantic_tpu.io.tum import write_trajectory
 
-        n = self.tracker._n_kfs
         st = self.tracker.state
+        kv = np.asarray(st.kfs.valid)
+        uid = np.asarray(st.kfs.uid)
+        order = np.argsort(np.where(kv, uid, 2 ** 30))[: int(kv.sum())]
         stamps, ts, qs = [], [], []
-        for i in range(n):
+        for i in order:
             T = np.asarray(st.kfs.T_cw[i])
             R, t = T[:3, :3], T[:3, 3]
             Rwc, twc = R.T, -R.T @ t

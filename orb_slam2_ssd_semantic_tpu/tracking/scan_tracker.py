@@ -83,12 +83,21 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
         )
         mm_jump = jnp.linalg.norm(T_mm[:3, 3] - T_pred[:3, 3])
         ok_mm = (n_inl_mm >= t.min_inliers_track) & (mm_jump < 0.5)
-        T_seed = jnp.where(ok_mm, T_mm, T_pred)
+
+        # TrackReferenceKeyFrame fallback (Tracking.cc:955-966).
+        T_ref, n_inl_ref = jax.lax.cond(
+            ok_mm,
+            lambda: (T_mm, n_inl_mm),
+            lambda: tk.track_reference_kf(state, frame, carry.last_T_cw, cfg),
+        )
+        ok_ref = (~ok_mm) & (n_inl_ref >= t.min_inliers_track)
+        ok_pre = ok_mm | ok_ref
+        T_seed = jnp.where(ok_mm, T_mm, jnp.where(ok_ref, T_ref, T_pred))
 
         state, res = tk.track_local_map(state, frame, T_seed, cfg)
         ok_lm = res.n_inliers >= t.min_inliers_local_map
-        T_cw = jnp.where(ok_lm, res.T_cw, jnp.where(ok_mm, T_mm, carry.last_T_cw))
-        status = jnp.where(ok_lm, 0, jnp.where(ok_mm, 1, 2))
+        T_cw = jnp.where(ok_lm, res.T_cw, jnp.where(ok_pre, T_seed, carry.last_T_cw))
+        status = jnp.where(ok_lm, 0, jnp.where(ok_pre, 1, 2))
 
         close = frame.feats.valid & (frame.kp_depth > 0) & (
             frame.kp_depth < cfg.camera.depth_threshold
@@ -124,7 +133,7 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
         # Re-anchor on the BA-refined pose when a keyframe was made.
         T_cw = jnp.where(
             need_kf,
-            state.kfs.T_cw[jnp.maximum(state.n_kfs - 1, 0)],
+            state.kfs.T_cw[state.last_kf],
             T_cw,
         )
 

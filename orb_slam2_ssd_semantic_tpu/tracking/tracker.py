@@ -134,40 +134,79 @@ def track_motion_model(
 
     radius = cfg.matcher.mm_search_radius * sf[jnp.clip(lf.level, 0, sf.shape[0] - 1)]
 
-    T = T_pred
-    n_match = jnp.int32(0)
-    for _ in range(1):
-        pc = se3.transform_points(T, pts_w)
-        centers, z = cam_ops.project(pc, cam)
-        vis = has3d & (z > 0.05) & cam_ops.in_image(centers, cam)
-        m = match_ops.match_by_window(
-            lf.desc,
-            frame.feats.desc,
-            centers,
-            frame.feats.uv,
-            vis,
-            frame.feats.valid,
-            radius,
-            angle_q=lf.angle,
-            angle_t=frame.feats.angle,
-            max_dist=match_ops.TH_HIGH,
-        )
-        tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
-        obs = frame.obs_uvr[tgt]
-        inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
-        res = pose_optimize(
-            T,
-            pts_w,
-            obs,
-            inv_sigma2,
-            frame.is_stereo[tgt],
-            m.valid,
-            cam,
-            cfg.optimizer,
-        )
-        T = res.T_cw
-        n_match = jnp.sum(m.valid.astype(jnp.int32))
-    return T, n_match, res.num_inliers
+    # One match -> optimize round, exactly the reference structure
+    # (TrackWithMotionModel: one SearchByProjection then PoseOptimization;
+    # the association is re-done against the map in track_local_map).
+    pc = se3.transform_points(T_pred, pts_w)
+    centers, z = cam_ops.project(pc, cam)
+    vis = has3d & (z > 0.05) & cam_ops.in_image(centers, cam)
+    m = match_ops.match_by_window(
+        lf.desc,
+        frame.feats.desc,
+        centers,
+        frame.feats.uv,
+        vis,
+        frame.feats.valid,
+        radius,
+        angle_q=lf.angle,
+        angle_t=frame.feats.angle,
+        max_dist=match_ops.TH_HIGH,
+    )
+    tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
+    obs = frame.obs_uvr[tgt]
+    inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
+    res = pose_optimize(
+        T_pred,
+        pts_w,
+        obs,
+        inv_sigma2,
+        frame.is_stereo[tgt],
+        m.valid,
+        cam,
+        cfg.optimizer,
+    )
+    n_match = jnp.sum(m.valid.astype(jnp.int32))
+    return res.T_cw, n_match, res.num_inliers
+
+
+def track_reference_kf(state: SlamState, frame: Frame, last_T_cw, cfg: SlamConfig):
+    """Appearance-based fallback when the motion model fails: match the
+    frame's descriptors against the reference (newest) keyframe's
+    map-point descriptors and optimize from the last pose —
+    TrackReferenceKeyFrame (Tracking.cc:1756-1800) with
+    ORBmatcher::SearchByBoW's 0.7 ratio + rotation-consistency gates
+    (ORBmatcher.cc:217-376). The BoW bucketing is an inverted-index CPU
+    trick; on the MXU the full (K, K) Hamming matrix is cheaper than the
+    bookkeeping it saves."""
+    cam = cfg.camera
+    sf = scale_factors(cfg.orb)
+    kf = state.last_kf
+    P = state.points.pos.shape[0]
+    pid = state.kfs.kp_point[kf]
+    pidc = jnp.clip(pid, 0, P - 1)
+    vk = state.kfs.kp_valid[kf] & (pid >= 0) & state.points.valid[pidc]
+    dist = match_ops.hamming_matrix(state.kfs.desc[kf], frame.feats.desc)
+    m = match_ops.masked_best_match(
+        dist, vk[:, None] & frame.feats.valid[None, :],
+        max_dist=match_ops.TH_LOW, ratio=0.7, mutual=True,
+    )
+    keep = match_ops.rotation_consistency_mask(
+        state.kfs.angle[kf], frame.feats.angle, m
+    )
+    m = match_ops.MatchResult(
+        idx=jnp.where(keep, m.idx, -1),
+        dist=jnp.where(keep, m.dist, match_ops.BIG),
+        valid=keep,
+    )
+    m = match_ops.resolve_duplicate_targets(m, frame.feats.capacity)
+    tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
+    obs = frame.obs_uvr[tgt]
+    inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
+    res = pose_optimize(
+        last_T_cw, state.points.pos[pidc], obs, inv_sigma2,
+        frame.is_stereo[tgt], m.valid, cam, cfg.optimizer,
+    )
+    return res.T_cw, res.num_inliers
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -186,10 +225,10 @@ def track_local_map(
     cam = cfg.camera
     sf = scale_factors(cfg.orb)
     pts = state.points
-    # Candidate selection once (frustum changes negligibly within the
-    # per-frame correction), then two match->optimize rounds — the
-    # re-match at the refined pose removes the seed-anchored association
-    # bias (see track_motion_model).
+    # Candidate selection once (the frustum changes negligibly within the
+    # per-frame correction), then one match -> optimize round against the
+    # map — the reference's TrackLocalMap structure (SearchLocalPoints +
+    # PoseOptimization, Tracking.cc:2108-2196).
     pc = se3.transform_points(T_cur, pts.pos)
     uv, z = cam_ops.project(pc, cam)
     dist = jnp.linalg.norm(pc, axis=-1)
@@ -222,35 +261,32 @@ def track_local_map(
     )
     radius = cfg.matcher.lm_search_radius * sf[pred_level]
 
-    T = T_cur
-    for _ in range(1):
-        c_pc = se3.transform_points(T, c_pos)
-        c_uv, c_z = cam_ops.project(c_pc, cam)
-        round_valid = c_valid & (c_z > 0.05) & cam_ops.in_image(c_uv, cam)
-        m = match_ops.match_by_window(
-            c_desc,
-            frame.feats.desc,
-            c_uv,
-            frame.feats.uv,
-            round_valid,
-            frame.feats.valid,
-            radius,
-            max_dist=match_ops.TH_HIGH,
-        )
-        tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
-        obs = frame.obs_uvr[tgt]
-        inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
-        res = pose_optimize(
-            T,
-            c_pos,
-            obs,
-            inv_sigma2,
-            frame.is_stereo[tgt],
-            m.valid,
-            cam,
-            cfg.optimizer,
-        )
-        T = res.T_cw
+    c_pc = se3.transform_points(T_cur, c_pos)
+    c_uv, c_z = cam_ops.project(c_pc, cam)
+    round_valid = c_valid & (c_z > 0.05) & cam_ops.in_image(c_uv, cam)
+    m = match_ops.match_by_window(
+        c_desc,
+        frame.feats.desc,
+        c_uv,
+        frame.feats.uv,
+        round_valid,
+        frame.feats.valid,
+        radius,
+        max_dist=match_ops.TH_HIGH,
+    )
+    tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
+    obs = frame.obs_uvr[tgt]
+    inv_sigma2 = 1.0 / (sf[jnp.clip(frame.feats.level[tgt], 0, sf.shape[0] - 1)] ** 2)
+    res = pose_optimize(
+        T_cur,
+        c_pos,
+        obs,
+        inv_sigma2,
+        frame.is_stereo[tgt],
+        m.valid,
+        cam,
+        cfg.optimizer,
+    )
 
     # keypoint -> point id association for the (potential) new keyframe.
     # (targets are unique after resolve_duplicate_targets; invalid rows
@@ -274,11 +310,13 @@ def track_local_map(
 
 
 def _spawn_points(state: SlamState, frame: Frame, T_cw: jnp.ndarray, kp_point, kf_id,
-                  cfg: SlamConfig, spawn_all: bool = False):
+                  kf_uid, cfg: SlamConfig, spawn_all: bool = False):
     """Allocate map points for keypoints with depth and no association
     (CreateNewKeyFrame close-point spawning, Tracking.cc:2548-2605).
     With spawn_all=True, every valid-depth keypoint spawns a point — the
     StereoInitialization behavior (Tracking.cc:1415-1486)."""
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import alloc_slots
+
     cam = cfg.camera
     sf = scale_factors(cfg.orb)
     K = frame.feats.capacity
@@ -294,9 +332,12 @@ def _spawn_points(state: SlamState, frame: Frame, T_cw: jnp.ndarray, kp_point, k
     pts_w = se3.transform_points(T_wc, pts_c)
     cam_center = T_wc[:3, 3]
 
-    # Allocation: slot = cursor + rank among new points.
+    # Allocation: the rank-th new point takes the rank-th free slot
+    # (erase+reuse — culled slots return to circulation; map_state
+    # docstring). Overflow ranks get slot P and scatter out of bounds.
+    free = alloc_slots(state.points.valid, K)
     rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
-    slot = state.n_points + rank
+    slot = free[jnp.clip(rank, 0, K - 1)]
     ok = new_mask & (slot < P)
     # Invalid entries scatter to index P (out of bounds) and are dropped.
     slot_safe = jnp.where(ok, slot, P)
@@ -318,6 +359,7 @@ def _spawn_points(state: SlamState, frame: Frame, T_cw: jnp.ndarray, kp_point, k
         n_visible=pts.n_visible.at[slot_safe].set(1, mode="drop"),
         n_found=pts.n_found.at[slot_safe].set(1, mode="drop"),
         ref_kf=pts.ref_kf.at[slot_safe].set(kf_id, mode="drop"),
+        first_kf_uid=pts.first_kf_uid.at[slot_safe].set(kf_uid, mode="drop"),
         valid=pts.valid.at[slot_safe].set(True, mode="drop"),
     )
     n_new = jnp.sum(ok.astype(jnp.int32))
@@ -336,35 +378,68 @@ def insert_keyframe(
     cfg: SlamConfig,
     spawn_all: bool = False,
 ) -> SlamState:
-    """Write the frame into the next keyframe slot and spawn close points."""
-    kf_id = state.n_kfs
-    # Count observations for previously-existing matched points (spawned
-    # points get their n_obs=1 inside _spawn_points).
-    P = state.points.pos.shape[0]
-    obs_mask = kp_point >= 0
-    ids = jnp.where(obs_mask, kp_point, P)
-    n_obs = state.points.n_obs.at[ids].add(1, mode="drop")
-    state = state._replace(points=state.points._replace(n_obs=n_obs))
+    """Write the frame into a free keyframe slot and spawn close points.
 
-    state, kp_point = _spawn_points(state, frame, T_cw, kp_point, kf_id, cfg, spawn_all)
+    Slot policy (erase+reuse, KeyFrame::SetBadFlag semantics): the lowest
+    free slot is taken; if the keyframe store is FULL, the oldest
+    keyframe (minimum uid, excluding the origin and the newest) is
+    evicted ring-buffer style so tracking never halts — the reference
+    instead grows without bound (SURVEY.md §7 hard part 1)."""
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import alloc_slots
 
     kfs = state.kfs
     F = kfs.valid.shape[0]
-    i = jnp.clip(kf_id, 0, F - 1)
-    kfs = kfs._replace(
-        T_cw=kfs.T_cw.at[i].set(T_cw),
-        uv=kfs.uv.at[i].set(frame.feats.uv),
-        level=kfs.level.at[i].set(frame.feats.level),
-        angle=kfs.angle.at[i].set(frame.feats.angle),
-        desc=kfs.desc.at[i].set(frame.feats.desc),
-        depth=kfs.depth.at[i].set(frame.kp_depth),
-        kp_valid=kfs.kp_valid.at[i].set(frame.feats.valid),
-        kp_point=kfs.kp_point.at[i].set(kp_point),
-        frame_id=kfs.frame_id.at[i].set(frame_id),
-        stamp=kfs.stamp.at[i].set(stamp),
-        valid=kfs.valid.at[i].set(True),
+    P = state.points.pos.shape[0]
+    free = alloc_slots(kfs.valid, 1)[0]
+    evict_score = jnp.where(
+        kfs.valid & (jnp.arange(F) != state.last_kf) & (kfs.uid > 0),
+        -kfs.uid, jnp.int32(-(2 ** 30)),
     )
-    state = state._replace(kfs=kfs, n_kfs=jnp.minimum(state.n_kfs + 1, F))
+    slot = jnp.where(free < F, free, jnp.argmax(evict_score)).astype(jnp.int32)
+    was_valid = kfs.valid[slot]
+
+    # Release the evicted keyframe's observations (observation-count
+    # decrement, as KeyFrame::SetBadFlag does via EraseObservation).
+    row = kfs.kp_point[slot]
+    rel_ids = jnp.where(was_valid & (row >= 0), row, P)
+    n_obs = state.points.n_obs.at[rel_ids].add(-1, mode="drop")
+    # Count observations for previously-existing matched points (spawned
+    # points get their n_obs=1 inside _spawn_points).
+    obs_mask = kp_point >= 0
+    ids = jnp.where(obs_mask, kp_point, P)
+    n_obs = n_obs.at[ids].add(1, mode="drop")
+    state = state._replace(
+        points=state.points._replace(n_obs=jnp.maximum(n_obs, 0))
+    )
+
+    kf_uid = state.next_uid
+    state, kp_point = _spawn_points(
+        state, frame, T_cw, kp_point, slot, kf_uid, cfg, spawn_all
+    )
+
+    kfs = state.kfs
+    kfs = kfs._replace(
+        T_cw=kfs.T_cw.at[slot].set(T_cw),
+        uv=kfs.uv.at[slot].set(frame.feats.uv),
+        level=kfs.level.at[slot].set(frame.feats.level),
+        angle=kfs.angle.at[slot].set(frame.feats.angle),
+        desc=kfs.desc.at[slot].set(frame.feats.desc),
+        depth=kfs.depth.at[slot].set(frame.kp_depth),
+        kp_valid=kfs.kp_valid.at[slot].set(frame.feats.valid),
+        kp_point=kfs.kp_point.at[slot].set(kp_point),
+        frame_id=kfs.frame_id.at[slot].set(frame_id),
+        stamp=kfs.stamp.at[slot].set(stamp),
+        uid=kfs.uid.at[slot].set(kf_uid),
+        parent_uid=kfs.parent_uid.at[slot].set(-1),
+        T_rel_parent=kfs.T_rel_parent.at[slot].set(jnp.eye(4, dtype=jnp.float32)),
+        valid=kfs.valid.at[slot].set(True),
+    )
+    state = state._replace(
+        kfs=kfs,
+        n_kfs=state.n_kfs + 1 - was_valid.astype(jnp.int32),
+        last_kf=slot,
+        next_uid=state.next_uid + 1,
+    )
     return state, kp_point
 
 
@@ -406,12 +481,23 @@ def fused_track_step(
     )
     mm_jump = jnp.linalg.norm(T_mm[:3, 3] - T_pred[:3, 3])
     ok_mm = (n_inl_mm >= t.min_inliers_track) & (mm_jump < 0.5)
-    T_seed = jnp.where(ok_mm, T_mm, T_pred)
+
+    # Appearance fallback against the reference keyframe when the motion
+    # model fails (Track() falls back to TrackReferenceKeyFrame,
+    # Tracking.cc:955-966); lax.cond keeps it free on good frames.
+    T_ref, n_inl_ref = jax.lax.cond(
+        ok_mm,
+        lambda: (T_mm, n_inl_mm),
+        lambda: track_reference_kf(state, frame, last_T_cw, cfg),
+    )
+    ok_ref = (~ok_mm) & (n_inl_ref >= t.min_inliers_track)
+    ok_pre = ok_mm | ok_ref
+    T_seed = jnp.where(ok_mm, T_mm, jnp.where(ok_ref, T_ref, T_pred))
 
     state, res = track_local_map(state, frame, T_seed, cfg)
     ok_lm = res.n_inliers >= t.min_inliers_local_map
-    T_cw = jnp.where(ok_lm, res.T_cw, jnp.where(ok_mm, T_mm, last_T_cw))
-    status = jnp.where(ok_lm, 0, jnp.where(ok_mm, 1, 2))  # OK/WEAK/LOST
+    T_cw = jnp.where(ok_lm, res.T_cw, jnp.where(ok_pre, T_seed, last_T_cw))
+    status = jnp.where(ok_lm, 0, jnp.where(ok_pre, 1, 2))  # OK/WEAK/LOST
 
     # Keyframe decision (NeedNewKeyFrame rules; see Tracker._need_keyframe).
     close = frame.feats.valid & (frame.kp_depth > 0) & (
@@ -453,7 +539,10 @@ class Tracker:
     machine, minus threads). Owns the SlamState and the motion model."""
 
     def __init__(self, cfg: SlamConfig):
+        from orb_slam2_ssd_semantic_tpu.utils.metrics import Metrics
+
         self.cfg = cfg
+        self.metrics = Metrics()
         self.state = empty_state(cfg)
         self.last_frame: Frame | None = None
         self.last_kp_point = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
@@ -481,14 +570,21 @@ class Tracker:
         # localization-only mode (Tracking::InformOnlyTracking,
         # Tracking.cc:3155 — mapping frozen, tracking continues).
         self.allow_new_keyframes = True
-        self.trajectory: list = []  # (stamp, ref_kf, T_rel np)
+        self.trajectory: list = []  # (stamp, ref_kf_uid, T_rel np)
         self.stats: list = []
         self.status = "INIT"
         # Host-side mirrors of rarely-changing device scalars, so the hot
         # loop never fetches them (each fetch is a device round trip).
         self._n_kfs = 0
         self._n_points = 0
+        self._last_kf = 0  # slot of the newest keyframe
+        self._ref_kf_uid = 0  # uid of the newest keyframe
         self._ref_kf_pose_np = np.eye(4, dtype=np.float32)
+        # Retired keyframes: uid -> (parent_uid, T_rel_parent np). Fed by
+        # _on_keyframe_inserted scans; resolves trajectory references to
+        # culled keyframes through the spanning tree, like the
+        # reference's SaveTrajectoryTUM walk (System.cc:487-493).
+        self._retired: dict = {}
         self._lost_streak = 0
 
     def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
@@ -504,24 +600,26 @@ class Tracker:
         depth = jnp.asarray(depth)
         static_mask = None
         if cfg.dynamic.enable_flow and self.prev_gray is not None:
-            from orb_slam2_ssd_semantic_tpu.dynamic.flowmask import flow_dynamic_mask
-            from orb_slam2_ssd_semantic_tpu.geometry.camera import intrinsics_matrix
+            from orb_slam2_ssd_semantic_tpu.dynamic.flowmask import (
+                flow_dynamic_mask_fitted,
+            )
 
-            # Ego-motion compensation homography from the PREDICTED
-            # relative rotation: H = K R_rel K^-1. (The reference fits H
-            # to feature matches via a throwaway light track,
-            # Tracking.cc:1331-1399; the rotation-induced homography
-            # needs no second feature extraction and captures the
-            # dominant ego-motion for room-scale depth.)
-            K = intrinsics_matrix(cfg.camera)
-            R_rel = (self.velocity @ jnp.eye(4, dtype=jnp.float32))[:3, :3]
-            H = K @ R_rel.T @ jnp.linalg.inv(K)
-            static_mask = flow_dynamic_mask(self.prev_gray, gray, cfg.dynamic, H)
+            # Ego-motion homography FITTED to flow correspondences by
+            # RANSAC (TrackHomo + findHomography equivalent,
+            # Tracking.cc:1331-1399, Flow.cc:73-80) — cancels rotation
+            # AND translation-induced dominant motion.
+            with self.metrics.stage("mask.flow"):
+                static_mask = flow_dynamic_mask_fitted(
+                    self.prev_gray, gray, cfg.dynamic
+                )
         if cfg.dynamic.enable_geometry and self.geom_db is not None and self.initialized:
             from orb_slam2_ssd_semantic_tpu.dynamic.geommask import geometry_dynamic_mask
 
             T_pred = self.velocity @ self.last_T_cw
-            gmask = geometry_dynamic_mask(self.geom_db, T_pred, depth, cfg.camera, cfg.dynamic)
+            with self.metrics.stage("mask.geometry"):
+                gmask = geometry_dynamic_mask(
+                    self.geom_db, T_pred, depth, cfg.camera, cfg.dynamic
+                )
             static_mask = gmask if static_mask is None else (static_mask & gmask)
         self.prev_gray = gray
 
@@ -544,30 +642,38 @@ class Tracker:
             return np.eye(4, dtype=np.float32)
 
         # ---- the fused hot path: one jit call + one small fetch ----------
-        self.state, frame, T_cw, velocity, kp_point, packed = fused_track_step(
-            self.state,
-            gray,
-            depth,
-            self.last_frame,
-            self.last_T_cw,
-            self.last_kp_point,
-            self.velocity,
-            jnp.int32(self.frames_since_kf),
-            jnp.int32(self.ref_kf_inliers),
-            cfg,
-            static_mask=static_mask,
-            use_mask=static_mask is not None,
-        )
-        p = np.asarray(packed)  # the single per-frame device sync
+        with self.metrics.stage("track"):
+            self.state, frame, T_cw, velocity, kp_point, packed = fused_track_step(
+                self.state,
+                gray,
+                depth,
+                self.last_frame,
+                self.last_T_cw,
+                self.last_kp_point,
+                self.velocity,
+                jnp.int32(self.frames_since_kf),
+                jnp.int32(self.ref_kf_inliers),
+                cfg,
+                static_mask=static_mask,
+                use_mask=static_mask is not None,
+            )
+            p = np.asarray(packed)  # the single per-frame device sync
         T_np = p[:16].reshape(4, 4).astype(np.float32)
         status_code, need_kf = int(p[16]), bool(p[17] > 0.5)
         n_inl, n_matches = int(p[18]), int(p[19])
         self.status = ("OK", "WEAK", "LOST")[status_code]
 
         if need_kf and self.allow_new_keyframes:
-            self.state, kp_point = insert_keyframe(
-                self.state, frame, T_cw, kp_point, self.frame_id, stamp, cfg
-            )
+            # Capture spanning-tree records of keyframes culled by the
+            # previous (possibly still-executing) mapping pass BEFORE
+            # this insertion can reuse their slots.
+            self._capture_retirements()
+            with self.metrics.stage("keyframe.insert"):
+                self.state, kp_point = insert_keyframe(
+                    self.state, frame, T_cw, kp_point, self.frame_id, stamp, cfg
+                )
+                kf_slot = int(self.state.last_kf)
+            self.metrics.count("keyframes")
             self.frames_since_kf = 0
             self.ref_kf_inliers = n_inl
             if self.geom_db is not None:
@@ -579,29 +685,42 @@ class Tracker:
                     self.geom_db, T_cw, frame.feats.uv, frame.kp_depth,
                     frame.feats.valid & frame.is_stereo,
                 )
-            # Local mapping: BA over the recent window + point culling
-            # (LocalMapping thread equivalent; runs synchronously here,
-            # async dispatch is a scale-out concern).
+            # Loop closing (LoopClosing thread equivalent): BoW update +
+            # detection + pose-graph correction per new keyframe. Runs
+            # BEFORE the local-BA dispatch on the post-insert state: its
+            # host-side fetches then wait only on the (cheap) insertion,
+            # and the BA below can stay un-fetched (async).
+            if self.loop_closer is not None and cfg.loop.enabled:
+                with self.metrics.stage("loop_closing"):
+                    self.state, closed = self.loop_closer.on_keyframe(
+                        self.state, kf_slot  # slot of the KF just inserted
+                    )
+                if closed:
+                    self.n_loops_closed += 1
+                    self.metrics.count("loops_closed")
+                    T_cw = self.state.kfs.T_cw[kf_slot]
+                    T_np = np.asarray(T_cw)
+            mirror_state = self.state  # post-insert, pre-BA
+            # Local mapping: triangulate + fuse + covis-window BA +
+            # maintenance + culling (the LocalMapping thread, P2). With
+            # async_mapping the dispatch returns immediately — JAX's
+            # async execution IS the worker thread; the host keeps
+            # tracking against the in-flight state value and nothing
+            # below fetches it (the reference's interrupt flags have no
+            # analogue to wait on: the pass is bounded at one window).
             if self._n_kfs + 1 >= 3:
                 from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import (
                     local_mapping_step,
                 )
 
-                self.state = local_mapping_step(self.state, cfg)
-                # Re-anchor on the BA-refined newest keyframe.
-                T_cw = self.state.kfs.T_cw[self._n_kfs]
-                T_np = np.asarray(T_cw)
-            # Loop closing (LoopClosing thread equivalent): BoW update +
-            # detection + pose-graph correction per new keyframe.
-            if self.loop_closer is not None and cfg.loop.enabled:
-                self.state, closed = self.loop_closer.on_keyframe(
-                    self.state, self._n_kfs  # id of the KF just inserted
-                )
-                if closed:
-                    self.n_loops_closed += 1
-                    T_cw = self.state.kfs.T_cw[self._n_kfs]
-                    T_np = np.asarray(T_cw)
-            self._on_keyframe_inserted()
+                with self.metrics.stage("local_mapping"):
+                    self.state = local_mapping_step(self.state, cfg)
+                    if not cfg.tracking.async_mapping:
+                        # Synchronous mode: re-anchor the live pose on
+                        # the BA output (blocks on the solve).
+                        T_cw = self.state.kfs.T_cw[kf_slot]
+                        T_np = np.asarray(T_cw)
+            self._on_keyframe_inserted(mirror_state)
         else:
             self.frames_since_kf += 1
             if (
@@ -612,9 +731,10 @@ class Tracker:
             ):
                 from orb_slam2_ssd_semantic_tpu.tracking.reloc import relocalize
 
-                ok_reloc, T_reloc, n_reloc = relocalize(
-                    self.state, frame, self.loop_closer, cfg
-                )
+                with self.metrics.stage("relocalization"):
+                    ok_reloc, T_reloc, n_reloc = relocalize(
+                        self.state, frame, self.loop_closer, cfg
+                    )
                 if ok_reloc:
                     self.status = "OK"
                     T_cw = T_reloc
@@ -635,15 +755,43 @@ class Tracker:
             self._lost_streak = 0
             self._n_kfs = 0
             self._n_points = 0
+            self._last_kf = 0
+            self._ref_kf_uid = 0
+            self._retired = {}
 
         self._record(frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inl)
         return T_np
 
-    def _on_keyframe_inserted(self):
-        """Refresh host-side mirrors after (rare) keyframe/BA updates."""
-        self._n_kfs = int(self.state.n_kfs)
-        self._n_points = int(self.state.n_points)
-        self._ref_kf_pose_np = np.asarray(self.state.kfs.T_cw[self._n_kfs - 1])
+    def _on_keyframe_inserted(self, state=None):
+        """Refresh host-side mirrors after a keyframe insertion. With
+        async mapping, `state` is the post-insert/pre-BA snapshot so
+        these fetches never wait on the in-flight BA (the trajectory
+        entry pair (T_rel, ref pose) stays self-consistent; resolution
+        against the refined poses happens at save time)."""
+        state = self.state if state is None else state
+        self._n_kfs = int(state.n_kfs)
+        self._n_points = int(state.n_points)
+        self._last_kf = int(state.last_kf)
+        kfs = state.kfs
+        self._ref_kf_uid = int(kfs.uid[self._last_kf])
+        self._ref_kf_pose_np = np.asarray(kfs.T_cw[self._last_kf])
+
+    def _capture_retirements(self):
+        """Record spanning-tree info of culled keyframes (uid ->
+        (parent_uid, T_rel_parent)) before their slots can be reused —
+        the host half of the reference's culled-KF trajectory chain
+        (System.cc:487-493)."""
+        kfs = self.state.kfs
+        uid = np.asarray(kfs.uid)
+        valid = np.asarray(kfs.valid)
+        parent = np.asarray(kfs.parent_uid)
+        retired_idx = np.nonzero((uid >= 0) & ~valid)[0]
+        if len(retired_idx):
+            Trel = np.asarray(kfs.T_rel_parent)
+            for i in retired_idx:
+                u = int(uid[i])
+                if u not in self._retired:
+                    self._retired[u] = (int(parent[i]), Trel[i])
 
     def _record(self, frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inliers):
         self.last_kp_point = kp_point
@@ -651,12 +799,12 @@ class Tracker:
         self.last_frame = frame
         self.last_T_cw = T_cw
         self.frame_id += 1
-        # Record the pose RELATIVE to the current reference keyframe, so
-        # later BA corrections of keyframe poses retroactively improve the
-        # whole trajectory (SaveTrajectoryTUM semantics, System.cc:476-502).
-        ref_kf = max(self._n_kfs - 1, 0)
+        # Record the pose RELATIVE to the current reference keyframe (by
+        # uid — slots are reused), so later BA corrections of keyframe
+        # poses retroactively improve the whole trajectory
+        # (SaveTrajectoryTUM semantics, System.cc:476-502).
         T_rel = T_np @ np.linalg.inv(self._ref_kf_pose_np)
-        self.trajectory.append((stamp, ref_kf, T_rel))
+        self.trajectory.append((stamp, self._ref_kf_uid, T_rel))
         self.stats.append(
             {"matches": n_matches, "inliers": n_inliers, "status": self.status,
              "kfs": self._n_kfs, "points": self._n_points}
@@ -664,13 +812,48 @@ class Tracker:
 
     # -- outputs ------------------------------------------------------------
 
+    def _kf_pose_by_uid(self):
+        """uid -> current T_cw for live keyframes, plus the retired-chain
+        resolver (spanning-tree walk for culled reference keyframes,
+        System.cc:487-493)."""
+        kfs = self.state.kfs
+        uid = np.asarray(kfs.uid)
+        valid = np.asarray(kfs.valid)
+        T = np.asarray(kfs.T_cw)
+        parent = np.asarray(kfs.parent_uid)
+        Trel = np.asarray(kfs.T_rel_parent)
+        live = {int(u): T[i] for i, u in enumerate(uid) if valid[i] and u >= 0}
+        retired = dict(self._retired)
+        for i, u in enumerate(uid):
+            if u >= 0 and not valid[i] and int(u) not in retired:
+                retired[int(u)] = (int(parent[i]), Trel[i])
+
+        def resolve(u: int):
+            chain = []
+            seen = set()
+            while u not in live:
+                if u not in retired or u in seen:
+                    # Broken chain: fall back to the newest live keyframe
+                    # at or before u.
+                    cands = [lu for lu in live if lu <= u]
+                    return live[max(cands)] if cands else np.eye(4, np.float32)
+                seen.add(u)
+                chain.append(retired[u][1])
+                u = retired[u][0]
+            out = live[u]
+            for R in reversed(chain):
+                out = R @ out
+            return out
+
+        return resolve
+
     def absolute_poses(self) -> list:
         """[(stamp, T_cw)] with keyframe-relative entries resolved against
         the CURRENT (possibly BA-refined) keyframe poses."""
-        kf_T = np.asarray(self.state.kfs.T_cw)
+        resolve = self._kf_pose_by_uid()
         out = []
-        for s, ref_kf, T_rel in self.trajectory:
-            out.append((s, T_rel @ kf_T[ref_kf]))
+        for s, ref_uid, T_rel in self.trajectory:
+            out.append((s, T_rel @ resolve(ref_uid)))
         return out
 
     def camera_positions(self) -> np.ndarray:

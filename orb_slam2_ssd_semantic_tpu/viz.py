@@ -48,8 +48,11 @@ def plot_map(path: str, state, max_points: int = 20000, gt_positions=None,
     if len(pos) > max_points:
         pos = pos[:: len(pos) // max_points]
     ax.scatter(pos[:, 0], pos[:, 2], s=0.5, c="black", alpha=0.4, label="map points")
-    n_kfs = int(state.n_kfs)
-    kf_T = np.asarray(state.kfs.T_cw[:n_kfs])
+    kv = np.asarray(state.kfs.valid)
+    uid = np.asarray(state.kfs.uid)
+    order = np.argsort(np.where(kv, uid, 2 ** 30))[: int(kv.sum())]
+    kf_T = np.asarray(state.kfs.T_cw)[order]
+    n_kfs = len(kf_T)
     centers = np.stack([-T[:3, :3].T @ T[:3, 3] for T in kf_T]) if n_kfs else np.zeros((0, 3))
     if n_kfs:
         ax.plot(centers[:, 0], centers[:, 2], "b.-", markersize=4, label="keyframes")

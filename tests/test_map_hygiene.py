@@ -1,0 +1,312 @@
+"""Map hygiene: duplicate-landmark fusion, slot reclamation, keyframe
+eviction, descriptor maintenance, and the TrackReferenceKeyFrame
+fallback (reference: LocalMapping::SearchInNeighbors LocalMapping.cc:652,
+ORBmatcher::Fuse ORBmatcher.cc:1031, MapPoint::Replace MapPoint.cc:225,
+MapPoint::ComputeDistinctiveDescriptors MapPoint.cc:305,
+Tracking::TrackReferenceKeyFrame Tracking.cc:1756)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ssd_semantic_tpu.config import (
+    CameraConfig,
+    LoopConfig,
+    MapConfig,
+    OrbConfig,
+    SlamConfig,
+)
+from orb_slam2_ssd_semantic_tpu.geometry import camera as cam_ops
+from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+    alloc_slots,
+    clear_point_refs,
+    empty_state,
+)
+
+
+def tiny_cfg(F=8, P=256, K=64):
+    return SlamConfig(
+        camera=CameraConfig(width=128, height=96, fx=100.0, fy=100.0, cx=64.0, cy=48.0),
+        orb=OrbConfig(n_features=K, max_keypoints=K),
+        map=MapConfig(
+            max_keyframes=F, max_map_points=P, local_ba_window=4,
+            local_ba_max_points=128, local_ba_fixed_anchors=2,
+            triangulation_neighbors=2, fuse_neighbors=2,
+        ),
+        loop=LoopConfig(enabled=False, enable_relocalization=False),
+    )
+
+
+def test_alloc_slots_prefers_lowest_free():
+    valid = jnp.asarray([True, False, True, False, False, True])
+    slots = np.asarray(alloc_slots(valid, 4))
+    assert slots.tolist() == [1, 3, 4, 6]  # 6 = capacity sentinel (no 4th free)
+
+
+def test_clear_point_refs():
+    kp = jnp.asarray([[0, 1, 2, -1], [2, 0, -1, 1]], jnp.int32)
+    dead = jnp.asarray([False, True, False])
+    out = np.asarray(clear_point_refs(kp, dead))
+    assert out.tolist() == [[0, -1, 2, -1], [2, 0, -1, -1]]
+
+
+def _make_two_kf_state_with_duplicates(cfg, n=32, seed=0):
+    """Two keyframes observing the SAME n surface points, but each bound
+    to its own copy of the landmarks (what round 1's tracker produced
+    when association failed) — the fuse pass must merge the copies."""
+    rng = np.random.default_rng(seed)
+    K = cfg.orb.max_keypoints
+    P = cfg.map.max_map_points
+    cam = cfg.camera
+    state = empty_state(cfg)
+
+    X = np.stack([
+        rng.uniform(-1.0, 1.0, n), rng.uniform(-0.7, 0.7, n),
+        rng.uniform(2.0, 4.0, n),
+    ], -1).astype(np.float32)  # world points (camera 1 at origin)
+    desc = rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint64).astype(np.uint32)
+
+    T1 = np.eye(4, dtype=np.float32)
+    T2 = np.eye(4, dtype=np.float32)
+    T2[:3, 3] = [0.05, 0.0, 0.02]  # small baseline
+
+    kfs = state.kfs
+    pts = state.points
+    for f, (T, base) in enumerate([(T1, 0), (T2, n)]):
+        pc = (T[:3, :3] @ X.T).T + T[:3, 3]
+        uv = np.stack([
+            cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+            cam.fy * pc[:, 1] / pc[:, 2] + cam.cy,
+        ], -1).astype(np.float32)
+        uv_full = np.zeros((K, 2), np.float32)
+        uv_full[:n] = uv
+        desc_full = np.zeros((K, 8), np.uint32)
+        desc_full[:n] = desc
+        kp_valid = np.zeros((K,), bool)
+        kp_valid[:n] = True
+        kp_point = np.full((K,), -1, np.int32)
+        kp_point[:n] = np.arange(n) + base
+        depth_full = np.zeros((K,), np.float32)
+        depth_full[:n] = pc[:, 2]
+        kfs = kfs._replace(
+            T_cw=kfs.T_cw.at[f].set(jnp.asarray(T)),
+            uv=kfs.uv.at[f].set(jnp.asarray(uv_full)),
+            desc=kfs.desc.at[f].set(jnp.asarray(desc_full)),
+            depth=kfs.depth.at[f].set(jnp.asarray(depth_full)),
+            kp_valid=kfs.kp_valid.at[f].set(jnp.asarray(kp_valid)),
+            kp_point=kfs.kp_point.at[f].set(jnp.asarray(kp_point)),
+            uid=kfs.uid.at[f].set(f),
+            frame_id=kfs.frame_id.at[f].set(f),
+            valid=kfs.valid.at[f].set(True),
+        )
+        # landmark copies for this keyframe
+        sl = jnp.arange(n) + base
+        cc = -T[:3, :3].T @ T[:3, 3]
+        dist = np.linalg.norm(X - cc, axis=-1).astype(np.float32)
+        nrm = ((X - cc) / dist[:, None]).astype(np.float32)
+        pts = pts._replace(
+            pos=pts.pos.at[sl].set(jnp.asarray(X)),
+            desc=pts.desc.at[sl].set(jnp.asarray(desc)),
+            normal=pts.normal.at[sl].set(jnp.asarray(nrm)),
+            min_dist=pts.min_dist.at[sl].set(jnp.asarray(dist / 2)),
+            max_dist=pts.max_dist.at[sl].set(jnp.asarray(dist * 2)),
+            n_obs=pts.n_obs.at[sl].set(1),
+            n_visible=pts.n_visible.at[sl].set(1),
+            n_found=pts.n_found.at[sl].set(1),
+            ref_kf=pts.ref_kf.at[sl].set(f),
+            first_kf_uid=pts.first_kf_uid.at[sl].set(f),
+            valid=pts.valid.at[sl].set(True),
+        )
+    state = state._replace(
+        points=pts, kfs=kfs,
+        n_points=jnp.int32(2 * n), n_kfs=jnp.int32(2),
+        last_kf=jnp.int32(1), next_uid=jnp.int32(2),
+    )
+    return state, n
+
+
+def test_fuse_merges_duplicate_landmarks():
+    cfg = tiny_cfg()
+    state, n = _make_two_kf_state_with_duplicates(cfg)
+    from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import fuse_map_points
+
+    out = fuse_map_points(state, cfg)
+    n_before = int(state.points.valid.sum())
+    n_after = int(out.points.valid.sum())
+    assert n_before == 2 * n
+    # Every duplicate pair merges (same descriptor, ~same projection).
+    assert n_after <= n + 2
+    # Both keyframes now reference the SAME landmark set.
+    kp1 = np.asarray(out.kfs.kp_point[0][:n])
+    kp2 = np.asarray(out.kfs.kp_point[1][:n])
+    shared = set(kp1[kp1 >= 0]) & set(kp2[kp2 >= 0])
+    assert len(shared) >= n - 2
+    # Winners absorbed the losers' observation counts.
+    merged_ids = sorted(shared)
+    assert int(out.points.n_obs[jnp.asarray(merged_ids)].min()) >= 2
+    # Counters stay consistent.
+    assert int(out.n_points) == n_after
+
+
+def test_point_slots_are_reused_after_cull():
+    cfg = tiny_cfg()
+    from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+    rng = np.random.default_rng(1)
+    gray = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    depth = jnp.full((96, 128), 3.0, jnp.float32)
+    state = empty_state(cfg)
+    frame = tk.build_frame(gray, depth, cfg)
+    kp = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+    state, kp = tk.insert_keyframe(state, frame, jnp.eye(4), kp, 0, 0.0, cfg,
+                                   spawn_all=True)
+    n0 = int(state.n_points)
+    assert n0 > 10
+
+    # Cull half the points the reference way: invalidate + clear refs.
+    kill = jnp.arange(cfg.map.max_map_points) < n0 // 2
+    state = state._replace(
+        points=state.points._replace(valid=state.points.valid & ~kill),
+        kfs=state.kfs._replace(
+            kp_point=clear_point_refs(state.kfs.kp_point, kill)
+        ),
+        n_points=state.n_points - jnp.sum(
+            (kill & state.points.valid).astype(jnp.int32)
+        ),
+    )
+    # The next spawn must land in the freed low slots.
+    kp2 = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+    state2, kp2 = tk.insert_keyframe(
+        state, frame, jnp.eye(4), kp2, 1, 1.0, cfg, spawn_all=True
+    )
+    spawned = np.asarray(kp2)
+    spawned = spawned[spawned >= 0]
+    assert spawned.min() < n0 // 2  # reused a culled slot
+    assert int(state2.n_points) <= cfg.map.max_map_points
+
+
+def test_keyframe_eviction_when_full():
+    cfg = tiny_cfg(F=4)
+    from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+    rng = np.random.default_rng(2)
+    state = empty_state(cfg)
+    for i in range(6):
+        gray = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+        depth = jnp.full((96, 128), 3.0, jnp.float32)
+        frame = tk.build_frame(gray, depth, cfg)
+        kp = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+        state, kp = tk.insert_keyframe(
+            state, frame, jnp.eye(4), kp, i, float(i), cfg, spawn_all=True
+        )
+    assert int(state.n_kfs) == 4
+    uids = np.asarray(state.kfs.uid)[np.asarray(state.kfs.valid)]
+    assert 0 in uids  # origin never evicted
+    assert 5 in uids  # newest present
+    assert int(state.next_uid) == 6
+    assert int(state.kfs.uid[state.last_kf]) == 5
+
+
+def test_long_run_beyond_keyframe_capacity():
+    """A run that inserts ~2x the keyframe capacity keeps tracking OK:
+    slots are reclaimed (culling/eviction) and the trajectory still
+    resolves through retired keyframes (VERDICT r1 #3 done-criterion)."""
+    import dataclasses
+
+    from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+    from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+    from orb_slam2_ssd_semantic_tpu.tracking.tracker import Tracker
+    from orb_slam2_ssd_semantic_tpu.config import SlamConfig, TrackingConfig
+
+    F_CAP = 8
+    cfg = SlamConfig(
+        map=dataclasses.replace(
+            SlamConfig().map, max_keyframes=F_CAP, local_ba_window=4,
+            local_ba_fixed_anchors=2, triangulation_neighbors=2,
+            fuse_neighbors=2,
+        ),
+        # Force a keyframe every frame so insertions far exceed the
+        # capacity.
+        tracking=TrackingConfig(max_frames_between_kfs=0),
+        loop=dataclasses.replace(SlamConfig().loop, enabled=False,
+                                 enable_relocalization=False),
+    )
+    seq = SyntheticSequence(n_frames=20)
+    tr = Tracker(cfg)
+    for i in range(len(seq)):
+        g, d = seq.gray_depth(i)
+        tr.process(g, d, float(seq.stamps[i]))
+    assert int(tr.state.n_kfs) <= F_CAP
+    assert int(tr.state.next_uid) >= 2 * F_CAP  # real churn happened
+    assert tr.status == "OK"
+    # Every trajectory entry resolves (live or through retired parents).
+    poses = tr.absolute_poses()
+    assert len(poses) == len(seq)
+    ate = evaluate_ate_xyz(tr.camera_positions(), seq.gt_positions()).rmse
+    assert ate < 0.05, ate
+
+
+def test_async_mapping_does_not_block_frame_loop():
+    """VERDICT r1 #8 done-criterion: with async_mapping the host's
+    local-mapping stage time is dispatch-only (the BA executes behind the
+    asynchronous device queue), and accuracy matches the synchronous
+    mode."""
+    import dataclasses
+
+    from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+    from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+    from orb_slam2_ssd_semantic_tpu.tracking.tracker import Tracker
+    from orb_slam2_ssd_semantic_tpu.config import SlamConfig, TrackingConfig
+
+    seq = SyntheticSequence(n_frames=14)
+    out = {}
+    for name, async_on in [("sync", False), ("async", True)]:
+        cfg = SlamConfig(
+            tracking=TrackingConfig(max_frames_between_kfs=2,
+                                    async_mapping=async_on),
+            loop=dataclasses.replace(SlamConfig().loop, enabled=False,
+                                     enable_relocalization=False),
+        )
+        tr = Tracker(cfg)
+        for i in range(len(seq)):
+            g, d = seq.gray_depth(i)
+            tr.process(g, d, float(seq.stamps[i]))
+        ate = evaluate_ate_xyz(tr.camera_positions(), seq.gt_positions()).rmse
+        st = tr.metrics.stages.get("local_mapping")
+        out[name] = (ate, st.mean_s if st else 0.0, st.count if st else 0)
+    # Both modes track accurately.
+    assert out["sync"][0] < 0.02 and out["async"][0] < 0.02, out
+    assert out["async"][2] >= 2  # local mapping actually ran
+    # Async dispatch returns well before the synchronous solve+fetch.
+    assert out["async"][1] < 0.5 * out["sync"][1], out
+
+
+def test_track_reference_kf_recovers_pose():
+    cfg = tiny_cfg()
+    state, n = _make_two_kf_state_with_duplicates(cfg)
+    from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+    # A "frame" seeing KF 1's keypoints exactly, starting from a stale pose.
+    K = cfg.orb.max_keypoints
+    uv = state.kfs.uv[1]
+    depth = state.kfs.depth[1]
+    feats_valid = state.kfs.kp_valid[1]
+
+    from orb_slam2_ssd_semantic_tpu.frontend.extractor import Features
+
+    feats = Features(
+        uv=uv, level=jnp.zeros((K,), jnp.int32), angle=jnp.zeros((K,)),
+        score=jnp.zeros((K,)), desc=state.kfs.desc[1], valid=feats_valid,
+    )
+    ur = cam_ops.stereo_right_u(uv, depth, cfg.camera)
+    frame = tk.Frame(
+        feats, depth, jnp.concatenate([uv, ur[:, None]], -1), depth > 0
+    )
+    T_stale = jnp.asarray(np.eye(4, dtype=np.float32))
+    T, n_inl = tk.track_reference_kf(state, frame, T_stale, cfg)
+    assert int(n_inl) >= n - 5
+    T_true = np.asarray(state.kfs.T_cw[1])
+    assert np.abs(np.asarray(T) - T_true).max() < 0.05

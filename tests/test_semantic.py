@@ -116,7 +116,10 @@ def test_fuse_depth_window_synthetic():
 def test_segment_objects_labels_blob():
     depth = np.full((120, 160), 3.0, np.float32)
     depth[40:80, 60:100] = 1.2  # floating box in front of a wall
-    labels = np.asarray(segment_objects(jnp.asarray(depth), SemanticConfig(), n_iters=96))
+    cam = CameraConfig(width=160, height=120, cx=80.0, cy=60.0, fx=200.0, fy=200.0)
+    labels = np.asarray(
+        segment_objects(jnp.asarray(depth), cam, SemanticConfig(), n_iters=96)
+    )
     inner = labels[50:70, 70:90]
     assert (inner >= 0).mean() > 0.9  # blob is labeled
     assert len(np.unique(inner[inner >= 0])) == 1  # one connected component
