@@ -8,8 +8,9 @@ i7-class CPU (reference README.md:286; BASELINE.md) at the same
 operating point (640x480 RGB-D, 1000 ORB features, 8 pyramid levels).
 vs_baseline = our frames/s / 30.
 
-Method: render a deterministic synthetic sequence, upload all frames
-once (uint8 gray + uint16 mm depth), then run the FULL per-frame SLAM
+Method: render a deterministic synthetic sequence ON DEVICE
+(io/device_render.py; only poses cross the host link), then run the
+FULL per-frame SLAM
 update — ORB extraction, motion-model matching + pose GN, local-map
 matching + pose GN, keyframe decision/insertion with point spawning,
 windowed Schur-complement local BA, culling — as one device-side
@@ -54,20 +55,29 @@ def main():
     from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
     from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
 
-    cfg = SlamConfig()
-    seq = SyntheticSequence(n_frames=N_FRAMES)
-    grays, depths = [], []
-    for i in range(len(seq)):
-        g, d = seq.gray_depth(i)
-        grays.append(np.clip(g, 0, 255).astype(np.uint8))
-        depths.append((d * 1000).astype(np.uint16))
-    grays = np.stack(grays)
-    depths = np.stack(depths)
-
     import jax.numpy as jnp
 
-    g_dev = jnp.asarray(grays)
-    d_dev = jnp.asarray(depths)
+    from orb_slam2_ssd_semantic_tpu.io.device_render import render_frames
+
+    t_phase = time.perf_counter()
+
+    def phase(name):
+        nonlocal t_phase
+        now = time.perf_counter()
+        print(f"# phase {name}: {now - t_phase:.1f}s", file=sys.stderr)
+        t_phase = now
+
+    cfg = SlamConfig()
+    # The synthetic sequence renders ON DEVICE (io/device_render.py):
+    # the host raytrace costs ~3 s/frame on this 2-core box and pushing
+    # 55 MB of frames through the remote-TPU relay costs minutes more —
+    # both previously dwarfed the benchmark itself. Only the ground-truth
+    # poses cross the link.
+    seq = SyntheticSequence(n_frames=N_FRAMES)
+    poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
+    g_dev, d_dev = render_frames(poses, cfg.camera, seed=seq.seed)
+    np.asarray(g_dev[0][0, 0])
+    phase("device render")
 
     def run():
         carry = scan_tracker.init_scan(empty_state(cfg), g_dev[0], d_dev[0], cfg)
@@ -80,20 +90,25 @@ def main():
     # not reliably synchronize through the remote-TPU relay).
     carry, T_all, stats = run()
     np.asarray(T_all)
+    phase("compile+warmup")
 
+    # Time REPS independent full runs with a single host sync at the
+    # end: each remote-relay round trip costs ~50-100 ms, which is >10%
+    # of one 0.4 s scan — amortizing over several runs removes the noise.
+    REPS = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
-    carry, T_all, stats = run()
-    T_host = np.asarray(T_all)
-    stats_host = np.asarray(stats)
-    dt = time.perf_counter() - t0
-    fps = (len(grays) - 1) / dt
+    outs = [run() for _ in range(REPS)]
+    T_host = np.asarray(outs[-1][1])
+    stats_host = np.asarray(outs[-1][2])
+    dt = (time.perf_counter() - t0) / REPS
+    fps = (N_FRAMES - 1) / dt
 
     poses = np.concatenate([np.eye(4, dtype=np.float32)[None], T_host])
     est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses])
     res = evaluate_ate_xyz(est, seq.gt_positions())
     stats = stats_host
     print(
-        f"# {len(grays)} frames in {dt:.2f}s on-device; ATE RMSE {res.rmse:.4f} m; "
+        f"# {N_FRAMES} frames in {dt:.2f}s on-device; ATE RMSE {res.rmse:.4f} m; "
         f"ok_frames={int((stats[:, 0] == 0).sum())}/{len(stats)} "
         f"kfs={int(stats[-1, 2])}",
         file=sys.stderr,

@@ -73,14 +73,18 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     c1 = se3.se3_inverse(T1)[:3, 3]
     baseline_min = cfg.camera.depth_bf / cfg.camera.fx  # stereo baseline (m)
 
-    def body(state: SlamState, xs):
-        kf2, ok_nb2 = xs
+    # All neighbor pairs triangulate IN PARALLEL (round 1 scanned them
+    # sequentially — ~10 dependent device rounds per keyframe event);
+    # each kf1 keypoint then keeps its first successful neighbor
+    # (= best-covisibility priority, the same winner the sequential
+    # "skip already-bound keypoints" rule produced).
+    valid1 = state.kfs.kp_valid[kf1] & (state.kfs.kp_point[kf1] < 0)
+
+    def tri_one(kf2, ok_nb2):
         ok_pair = ok_nb2 & state.kfs.valid[kf2] & (kf2 != kf1)
         T2 = state.kfs.T_cw[kf2]
         c2 = se3.se3_inverse(T2)[:3, 3]
         ok_pair = ok_pair & (jnp.linalg.norm(c1 - c2) > baseline_min)
-
-        valid1 = state.kfs.kp_valid[kf1] & (state.kfs.kp_point[kf1] < 0)
         valid2 = state.kfs.kp_valid[kf2] & (state.kfs.kp_point[kf2] < 0)
         tri = triangulate_pair(
             uv1, desc1, level1, valid1 & ok_pair,
@@ -88,53 +92,60 @@ def create_new_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
             valid2 & ok_pair,
             T1, T2, cfg.camera, cfg.orb,
         )
-        ok = tri.valid & ok_pair
+        return tri.pts_w, tri.idx2, tri.valid & ok_pair
 
-        # Allocate free map-point slots for the survivors.
-        free = alloc_slots(state.points.valid, K)
-        rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        slot = free[jnp.clip(rank, 0, K - 1)]
-        ok = ok & (slot < P)
-        slot_safe = jnp.where(ok, slot, P)
+    Xs, idx2s, oks = jax.vmap(tri_one)(neighbors, ok_nb)  # (Nn,K,3),(Nn,K),(Nn,K)
 
-        X = tri.pts_w
-        dist = jnp.linalg.norm(X - c1[None], axis=-1)
-        lv = jnp.clip(level1, 0, cfg.orb.n_levels - 1)
-        max_dist = dist * sf[lv]
-        min_dist = max_dist / sf[-1]
-        normal = (X - c1[None]) / jnp.maximum(dist, 1e-6)[:, None]
+    any_ok = jnp.any(oks, axis=0)  # (K,)
+    nsel = jnp.argmax(oks, axis=0)  # first successful neighbor per keypoint
+    kcols = jnp.arange(K, dtype=jnp.int32)
+    X = Xs[nsel, kcols]  # (K, 3)
+    j2 = idx2s[nsel, kcols]  # (K,)
+    kf2_sel = neighbors[nsel]  # (K,)
 
-        pts = state.points
-        pts = pts._replace(
-            pos=pts.pos.at[slot_safe].set(X, mode="drop"),
-            desc=pts.desc.at[slot_safe].set(desc1, mode="drop"),
-            normal=pts.normal.at[slot_safe].set(normal, mode="drop"),
-            min_dist=pts.min_dist.at[slot_safe].set(min_dist, mode="drop"),
-            max_dist=pts.max_dist.at[slot_safe].set(max_dist, mode="drop"),
-            n_obs=pts.n_obs.at[slot_safe].set(2, mode="drop"),
-            n_visible=pts.n_visible.at[slot_safe].set(2, mode="drop"),
-            n_found=pts.n_found.at[slot_safe].set(2, mode="drop"),
-            ref_kf=pts.ref_kf.at[slot_safe].set(kf1, mode="drop"),
-            first_kf_uid=pts.first_kf_uid.at[slot_safe].set(kf_uid1, mode="drop"),
-            valid=pts.valid.at[slot_safe].set(True, mode="drop"),
-        )
+    # Allocate free map-point slots for the survivors.
+    free = alloc_slots(state.points.valid, K)
+    rank = jnp.cumsum(any_ok.astype(jnp.int32)) - 1
+    slot = free[jnp.clip(rank, 0, K - 1)]
+    ok = any_ok & (slot < P)
+    slot_safe = jnp.where(ok, slot, P)
 
-        # Bind both observations.
-        kfs = state.kfs
-        kp1 = jnp.where(ok, slot, kfs.kp_point[kf1])
-        kfs = kfs._replace(kp_point=kfs.kp_point.at[kf1].set(kp1))
-        j2 = jnp.where(ok, tri.idx2, K)
-        kp2 = kfs.kp_point[kf2].at[j2].set(jnp.where(ok, slot, -1), mode="drop")
-        kfs = kfs._replace(kp_point=kfs.kp_point.at[kf2].set(kp2))
+    dist = jnp.linalg.norm(X - c1[None], axis=-1)
+    lv = jnp.clip(level1, 0, cfg.orb.n_levels - 1)
+    max_dist = dist * sf[lv]
+    min_dist = max_dist / sf[-1]
+    normal = (X - c1[None]) / jnp.maximum(dist, 1e-6)[:, None]
 
-        state = state._replace(
-            points=pts, kfs=kfs,
-            n_points=state.n_points + jnp.sum(ok.astype(jnp.int32)),
-        )
-        return state, None
+    pts = state.points
+    pts = pts._replace(
+        pos=pts.pos.at[slot_safe].set(X, mode="drop"),
+        desc=pts.desc.at[slot_safe].set(desc1, mode="drop"),
+        normal=pts.normal.at[slot_safe].set(normal, mode="drop"),
+        min_dist=pts.min_dist.at[slot_safe].set(min_dist, mode="drop"),
+        max_dist=pts.max_dist.at[slot_safe].set(max_dist, mode="drop"),
+        n_obs=pts.n_obs.at[slot_safe].set(2, mode="drop"),
+        n_visible=pts.n_visible.at[slot_safe].set(2, mode="drop"),
+        n_found=pts.n_found.at[slot_safe].set(2, mode="drop"),
+        ref_kf=pts.ref_kf.at[slot_safe].set(kf1, mode="drop"),
+        first_kf_uid=pts.first_kf_uid.at[slot_safe].set(kf_uid1, mode="drop"),
+        valid=pts.valid.at[slot_safe].set(True, mode="drop"),
+    )
 
-    state, _ = jax.lax.scan(body, state, (neighbors, ok_nb))
-    return state
+    # Bind both observations: kf1's keypoint row, and the matched
+    # keypoint of the SELECTED neighbor (idx2 is already unique within
+    # each neighbor; different keypoints may select different neighbors).
+    kfs = state.kfs
+    kp1 = jnp.where(ok, slot, kfs.kp_point[kf1])
+    kp = kfs.kp_point.at[kf1].set(kp1)
+    kp = kp.at[
+        jnp.where(ok, kf2_sel, F), jnp.where(ok, j2, 0)
+    ].set(jnp.where(ok, slot, -1), mode="drop")
+    kfs = kfs._replace(kp_point=kp)
+
+    return state._replace(
+        points=pts, kfs=kfs,
+        n_points=state.n_points + jnp.sum(ok.astype(jnp.int32)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -178,95 +189,119 @@ def _apply_merges(state: SlamState, loser: jnp.ndarray, winner: jnp.ndarray) -> 
     )
 
 
-def _fuse_direction(state: SlamState, src, dst, cfg: SlamConfig) -> SlamState:
-    """Project the landmarks observed by keyframe `src` into keyframe
-    `dst` and fuse (ORBmatcher::Fuse, ORBmatcher.cc:1031-1196): a match
-    against an UNBOUND keypoint adds an observation; a match against a
-    keypoint already bound to a different landmark merges the two
-    (keeping the one with more observations, ORBmatcher.cc:1140-1148)."""
+def _fuse_directions_batched(state: SlamState, src, dst, ok_d, cfg: SlamConfig
+                             ) -> SlamState:
+    """All (src -> dst) fuse directions at once (ORBmatcher::Fuse,
+    ORBmatcher.cc:1031-1196): a match against an UNBOUND keypoint adds
+    an observation; a match against a keypoint already bound to a
+    different landmark merges the two (keeping the one with more
+    observations, ORBmatcher.cc:1140-1148).
+
+    Round 1 of this engine ran the directions as a sequential lax.scan —
+    ~20 dependent device rounds per keyframe event. The matching of each
+    direction is independent given the pre-fuse state, so it vmaps into
+    ONE batched round; binds and merges then apply globally (write
+    conflicts resolve arbitrarily, and the observation dedup pass cleans
+    the rare overlaps — the same outcome SearchInNeighbors converges to
+    over consecutive keyframes)."""
     cam = cfg.camera
     sf = scale_factors(cfg.orb)
     pts = state.points
     kfs = state.kfs
     P = pts.pos.shape[0]
+    F = kfs.valid.shape[0]
     K = kfs.kp_point.shape[1]
+    D = src.shape[0]
 
-    ids = kfs.kp_point[src]  # (K,) point ids observed by src
-    idc = jnp.clip(ids, 0, P - 1)
-    q_valid = (ids >= 0) & pts.valid[idc] & kfs.kp_valid[src]
-    X = pts.pos[idc]
-    T_dst = kfs.T_cw[dst]
-    pc = se3.transform_points(T_dst, X)
-    uv, z = cam_ops.project(pc, cam)
-    dist = jnp.linalg.norm(pc, axis=-1)
-    c_dst = se3.se3_inverse(T_dst)[:3, 3]
-    view = (X - c_dst[None]) / jnp.maximum(dist, 1e-6)[:, None]
-    cos_view = jnp.sum(view * pts.normal[idc], axis=-1)
-    q_valid = (
-        q_valid
-        & (z > 0.05)
-        & cam_ops.in_image(uv, cam)
-        # Scale-invariance distance band + <60 deg viewing angle vs the
-        # landmark normal (ORBmatcher.cc:1079-1096).
-        & (dist > 0.8 * pts.min_dist[idc])
-        & (dist < 1.3 * pts.max_dist[idc])
-        & (cos_view > 0.5)
-    )
-    ratio = jnp.maximum(pts.max_dist[idc] / jnp.maximum(dist, 1e-6), 1e-6)
-    pred_level = jnp.clip(
-        jnp.ceil(jnp.log(ratio) / jnp.log(cfg.orb.scale_factor)).astype(jnp.int32),
-        0, cfg.orb.n_levels - 1,
-    )
-    radius = cfg.map.fuse_search_radius * sf[pred_level]
-    m = match_ops.match_by_window(
-        pts.desc[idc], kfs.desc[dst], uv, kfs.uv[dst],
-        q_valid, kfs.kp_valid[dst], radius, max_dist=match_ops.TH_LOW,
-    )
-    j = jnp.clip(m.idx, 0, K - 1)
-    existing = kfs.kp_point[dst][j]
-    bind = m.valid & (existing < 0)
-    merge = m.valid & (existing >= 0) & (existing != ids)
+    def match_dir(src_f, dst_f, okf):
+        ids = kfs.kp_point[src_f]  # (K,) point ids observed by src
+        idc = jnp.clip(ids, 0, P - 1)
+        q_valid = okf & (ids >= 0) & pts.valid[idc] & kfs.kp_valid[src_f]
+        X = pts.pos[idc]
+        T_dst = kfs.T_cw[dst_f]
+        pc = se3.transform_points(T_dst, X)
+        uv, z = cam_ops.project(pc, cam)
+        dist = jnp.linalg.norm(pc, axis=-1)
+        c_dst = se3.se3_inverse(T_dst)[:3, 3]
+        view = (X - c_dst[None]) / jnp.maximum(dist, 1e-6)[:, None]
+        cos_view = jnp.sum(view * pts.normal[idc], axis=-1)
+        q_valid = (
+            q_valid
+            & (z > 0.05)
+            & cam_ops.in_image(uv, cam)
+            # Scale-invariance distance band + <60 deg viewing angle vs
+            # the landmark normal (ORBmatcher.cc:1079-1096).
+            & (dist > 0.8 * pts.min_dist[idc])
+            & (dist < 1.3 * pts.max_dist[idc])
+            & (cos_view > 0.5)
+        )
+        ratio = jnp.maximum(pts.max_dist[idc] / jnp.maximum(dist, 1e-6), 1e-6)
+        pred_level = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.log(cfg.orb.scale_factor)).astype(jnp.int32),
+            0, cfg.orb.n_levels - 1,
+        )
+        radius = cfg.map.fuse_search_radius * sf[pred_level]
+        d = match_ops.hamming_matrix(pts.desc[idc], kfs.desc[dst_f])
+        mask = match_ops.window_mask(
+            uv, kfs.uv[dst_f], radius, q_valid, kfs.kp_valid[dst_f]
+        )
+        m = match_ops.masked_best_match(d, mask, max_dist=match_ops.TH_LOW)
+        m = match_ops.resolve_duplicate_targets(m, K)
+        j = jnp.clip(m.idx, 0, K - 1)
+        existing = kfs.kp_point[dst_f][j]
+        bind = m.valid & (existing < 0)
+        merge = m.valid & (existing >= 0) & (existing != ids)
+        # Winner = more observations, ties broken by LOWER id: the
+        # opposite directions of a pair then propose the SAME merge
+        # (without the deterministic tie-break they propose opposite
+        # ones, which cancel as 2-cycles in the remap table).
+        nq = pts.n_obs[idc]
+        ne = pts.n_obs[jnp.clip(existing, 0, P - 1)]
+        q_wins = (nq > ne) | ((nq == ne) & (ids < existing))
+        winner = jnp.where(q_wins, ids, existing)
+        loser = jnp.where(merge, jnp.where(q_wins, existing, ids), P)
+        return j, ids, bind, loser, winner
 
-    # Bind: new observation of the projected landmark.
-    row = kfs.kp_point[dst]
-    row = row.at[jnp.where(bind, j, K)].set(
-        jnp.where(bind, ids, -1), mode="drop"
+    j, ids, bind, loser, winner = jax.vmap(match_dir)(src, dst, ok_d)
+
+    # Apply all binds in one scatter (conflicting writers of the same
+    # (dst, j) cell resolve arbitrarily; dedup cleans duplicates).
+    rows = jnp.broadcast_to(dst[:, None], (D, K))
+    kp = kfs.kp_point.at[
+        jnp.where(bind, rows, F), jnp.where(bind, j, 0)
+    ].set(jnp.where(bind, ids, -1), mode="drop")
+    n_obs = pts.n_obs.at[jnp.where(bind, ids, P).reshape(-1)].add(
+        1, mode="drop"
     )
-    n_obs = pts.n_obs.at[jnp.where(bind, ids, P)].add(1, mode="drop")
     state = state._replace(
         points=pts._replace(n_obs=n_obs),
-        kfs=kfs._replace(kp_point=kfs.kp_point.at[dst].set(row)),
+        kfs=kfs._replace(kp_point=kp),
     )
-
-    # Merge: winner = more observations (ORBmatcher.cc:1140-1148).
-    ex_c = jnp.clip(existing, 0, P - 1)
-    q_wins = n_obs[idc] >= n_obs[ex_c]
-    winner = jnp.where(q_wins, ids, existing)
-    loser = jnp.where(merge, jnp.where(q_wins, existing, ids), P)
-    return _apply_merges(state, loser, winner)
+    return _apply_merges(state, loser.reshape(-1), winner.reshape(-1))
 
 
 def _dedup_observations(state: SlamState) -> SlamState:
     """Drop duplicate (keyframe, point) observations created when a
     merge rebinds a landmark a keyframe already observes — the
     reference's Replace keeps the existing observation and erases the
-    duplicate (MapPoint.cc:240-252). Sort-based: one argsort over the
-    flattened association table."""
+    duplicate (MapPoint.cc:240-252). First-occurrence test via a
+    scatter-min over a flat (F*(P+1)) bucket space: two O(F*K) passes
+    instead of a (slow on TPU) half-million-element sort."""
     kfs = state.kfs
     pts = state.points
     F, K = kfs.kp_point.shape
     P = pts.pos.shape[0]
     kp = kfs.kp_point
-    big = jnp.int32(2 ** 30)
+    valid = kp >= 0
     key = jnp.where(
-        kp >= 0, kp + jnp.arange(F, dtype=jnp.int32)[:, None] * (P + 1), big
+        valid, kp + jnp.arange(F, dtype=jnp.int32)[:, None] * (P + 1),
+        F * (P + 1),
     ).reshape(-1)
-    order = jnp.argsort(key)
-    s = key[order]
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros((1,), bool), (s[1:] == s[:-1]) & (s[1:] < big)]
+    col = jnp.tile(jnp.arange(K, dtype=jnp.int32), F)
+    first = jnp.full((F * (P + 1) + 1,), K, jnp.int32).at[key].min(
+        col, mode="drop"
     )
-    dup = jnp.zeros_like(dup_sorted).at[order].set(dup_sorted).reshape(F, K)
+    dup = (valid.reshape(-1) & (first[key] != col)).reshape(F, K)
     dec_ids = jnp.where(dup, kp, P).reshape(-1)
     n_obs = pts.n_obs.at[dec_ids].add(-1, mode="drop")
     return state._replace(
@@ -299,20 +334,14 @@ def fuse_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     """SearchInNeighbors (LocalMapping.cc:652-763): fuse the newest
     keyframe's landmarks into each of its best covisible neighbors and
     vice versa, then deduplicate observations."""
+    Nf = cfg.map.fuse_neighbors
     kf1 = state.last_kf
-    neighbors, ok_n = _neighbor_slots(state, kf1, cfg.map.fuse_neighbors)
-
-    def body(state, xs):
-        kf2, ok = xs
-
-        def do(s):
-            s = _fuse_direction(s, kf1, kf2, cfg)
-            s = _fuse_direction(s, kf2, kf1, cfg)
-            return s
-
-        return jax.lax.cond(ok, do, lambda s: s, state), None
-
-    state, _ = jax.lax.scan(body, state, (neighbors, ok_n))
+    neighbors, ok_n = _neighbor_slots(state, kf1, Nf)
+    kf1_rep = jnp.full((Nf,), kf1, jnp.int32)
+    src = jnp.concatenate([kf1_rep, neighbors])
+    dst = jnp.concatenate([neighbors, kf1_rep])
+    ok_d = jnp.concatenate([ok_n, ok_n])
+    state = _fuse_directions_batched(state, src, dst, ok_d, cfg)
     return _dedup_observations(state)
 
 
@@ -323,8 +352,12 @@ def fuse_pair(state: SlamState, kf_a, kf_b, cfg: SlamConfig) -> SlamState:
     791-824), which projects loop-side landmarks into the corrected
     current-side keyframes so the two sides of a closed loop share
     observations (and thus covisibility edges) from then on."""
-    state = _fuse_direction(state, kf_a, kf_b, cfg)
-    state = _fuse_direction(state, kf_b, kf_a, cfg)
+    a = jnp.asarray(kf_a, jnp.int32).reshape(1)
+    b = jnp.asarray(kf_b, jnp.int32).reshape(1)
+    ok = jnp.ones((2,), bool)
+    state = _fuse_directions_batched(
+        state, jnp.concatenate([a, b]), jnp.concatenate([b, a]), ok, cfg
+    )
     return _dedup_observations(state)
 
 
@@ -586,10 +619,10 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
     pts0 = state.points
     P = pts0.pos.shape[0]
     F = kfs.valid.shape[0]
-    covis = covisibility(kfs.kp_point, kfs.valid, P)  # (F, F) int32
     last = state.last_kf
     uid = kfs.uid
     last_uid = uid[last]
+    covrow = covisibility_row(kfs.kp_point, kfs.valid.astype(jnp.float32), last, P)
 
     ids = jnp.where(kfs.kp_point >= 0, kfs.kp_point, P)
     obs = pts0.n_obs
@@ -602,19 +635,11 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
     )
     cand = (
         kfs.valid
-        & (covis[last] > 0)
+        & (covrow > 0)
         & (uid > 0)
         & (uid < last_uid - 1)
     )
     cull = cand & (ratio > cfg.map.kf_redundancy_ratio) & (n_tracked > 10)
-
-    # Spanning-tree parent: strongest covisible SURVIVOR.
-    Wsurv = covis * (kfs.valid & ~cull)[None, :].astype(jnp.int32)
-    parent = jnp.argmax(Wsurv, axis=1).astype(jnp.int32)
-    has_parent = jnp.max(Wsurv, axis=1) > 0
-    parent = jnp.where(has_parent, parent, last)
-    T_par_inv = jax.vmap(se3.se3_inverse)(kfs.T_cw[parent])  # (F, 4, 4)
-    T_rel = jnp.einsum("fij,fjk->fik", kfs.T_cw, T_par_inv)
 
     # Re-point orphaned map points (whose ref_kf slot is culled) at a
     # surviving observer so loop corrections keep carrying them.
@@ -625,6 +650,23 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
         jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
         mode="drop",
     )[:P]
+
+    # Spanning-tree parent of each culled keyframe: the surviving
+    # observer that covers most of its tracked points — the mode of its
+    # points' surviving-observer votes. One (F, K) scatter instead of the
+    # full (F, P) covisibility product (the former per-keyframe-event
+    # hotspot; same strongest-survivor semantics, KeyFrame.cc:558-620).
+    pt_surv = surv_ref[jnp.clip(kfs.kp_point, 0, P - 1)]  # (F, K)
+    vote_ok = cull[:, None] & tracked & (pt_surv >= 0)
+    votes = jnp.zeros((F, F + 1), jnp.float32).at[
+        jnp.arange(F, dtype=jnp.int32)[:, None],
+        jnp.where(vote_ok, pt_surv, F),
+    ].add(1.0, mode="drop")[:, :F]
+    parent = jnp.argmax(votes, axis=1).astype(jnp.int32)
+    has_parent = jnp.max(votes, axis=1) > 0
+    parent = jnp.where(has_parent, parent, last)
+    T_par_inv = jax.vmap(se3.se3_inverse)(kfs.T_cw[parent])  # (F, 4, 4)
+    T_rel = jnp.einsum("fij,fjk->fik", kfs.T_cw, T_par_inv)
     ref_culled = (pts0.ref_kf >= 0) & cull[jnp.clip(pts0.ref_kf, 0, F - 1)]
     new_ref = jnp.where(
         ref_culled, jnp.where(surv_ref >= 0, surv_ref, last), pts0.ref_kf
