@@ -1,24 +1,34 @@
-"""Benchmark: RGB-D SLAM tracking throughput on the real TPU chip.
+"""Benchmark: RGB-D SLAM throughput on the real TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (driver contract):
   {"metric": "tracking_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
+plus a per-config table on stderr.
 
 Baseline: the reference runs "real-time" tracking (~30 Hz) on an
 i7-class CPU (reference README.md:286; BASELINE.md) at the same
 operating point (640x480 RGB-D, 1000 ORB features, 8 pyramid levels).
 vs_baseline = our frames/s / 30.
 
-Method: render a deterministic synthetic sequence ON DEVICE
-(io/device_render.py; only poses cross the host link), then run the
-FULL per-frame SLAM
-update — ORB extraction, motion-model matching + pose GN, local-map
-matching + pose GN, keyframe decision/insertion with point spawning,
-windowed Schur-complement local BA, culling — as one device-side
-lax.scan (tracking/scan_tracker.py) and time the scan. This measures
-on-device throughput, which is what the chip delivers when it is
-host-attached; per-frame host round trips through this environment's
-remote-TPU relay cost ~30 ms each and are an artifact of the tunnel,
-not the engine (the interactive path exists in tracking/tracker.py).
+Method (honest-bench revision, VERDICT r2 #1): a LOOP-CIRCUIT trajectory
+around a four-wall-furnished room — per-frame motion ~3.4 deg yaw +
+~15 cm, driving the keyframe cadence to the reference's ~1 KF/8-10
+frames and revisiting the start for loop closure — rendered ON DEVICE
+(io/device_render.py; only poses cross the host link). The FULL
+per-frame SLAM update (ORB extraction, motion-model + local-map
+tracking, keyframe events with triangulation/fusion/local BA/culling,
+and in-scan BoW loop DETECTION against the trained vocabulary) runs as
+one device-side lax.scan (tracking/scan_tracker.py). Configs measured:
+
+  track      — tracking + mapping, no place recognition
+  full_slam  — + in-scan loop detection (trained vocab)   <- PRIMARY
+  dynamic    — + per-frame optical-flow dynamic masking
+  semantic   — + batched SSD detection + occupancy insertion over the
+               sequence's keyframes (the async keyframe-consumer path)
+
+This measures on-device throughput, which is what the chip delivers
+when host-attached; per-frame host round trips through this
+environment's remote-TPU relay cost ~30 ms each and are an artifact of
+the tunnel, not the engine (the interactive path is tracking/tracker.py).
 Tracking quality is checked against exact ground truth in the same run.
 """
 
@@ -27,13 +37,14 @@ import os
 import sys
 import time
 
-# Persistent XLA compilation cache: first-compile through the remote-TPU
-# relay costs minutes per program; cached reruns skip it entirely.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 30.0
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "60"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "121"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+CONFIGS = os.environ.get("BENCH_CONFIGS", "track,full_slam,dynamic,semantic").split(",")
+PRIMARY = os.environ.get("BENCH_PRIMARY", "full_slam")
 
 
 def main():
@@ -42,22 +53,22 @@ def main():
     import jax
 
     # The env vars above are NOT picked up under this environment's
-    # sitecustomize backend boot — the cache stays "disabled/not
-    # initialized" unless set through jax.config (measured: round 1's
-    # driver bench cold-compiled ~5.5 min and timed out, rc=124).
+    # sitecustomize backend boot — set through jax.config (round 1's
+    # driver bench cold-compiled ~5.5 min and timed out without this).
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from orb_slam2_ssd_semantic_tpu.config import SlamConfig
-    from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
-    from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
-    from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
-    from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
-
     import jax.numpy as jnp
 
+    from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+    from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+    from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+    from orb_slam2_ssd_semantic_tpu.io.artifacts import find_checkpoint
     from orb_slam2_ssd_semantic_tpu.io.device_render import render_frames
+    from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
+    from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
 
     t_phase = time.perf_counter()
 
@@ -68,51 +79,148 @@ def main():
         t_phase = now
 
     cfg = SlamConfig()
-    # The synthetic sequence renders ON DEVICE (io/device_render.py):
-    # the host raytrace costs ~3 s/frame on this 2-core box and pushing
-    # 55 MB of frames through the remote-TPU relay costs minutes more —
-    # both previously dwarfed the benchmark itself. Only the ground-truth
-    # poses cross the link.
-    seq = SyntheticSequence(n_frames=N_FRAMES)
+    seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop")
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
-    g_dev, d_dev = render_frames(poses, cfg.camera, seed=seq.seed)
+    g_dev, d_dev = render_frames(
+        poses, cfg.camera, size=seq.room.size,
+        boxes=tuple(tuple(map(tuple, b)) for b in seq.room.boxes),
+        seed=seq.seed,
+    )
     np.asarray(g_dev[0][0, 0])
     phase("device render")
 
-    def run():
-        carry = scan_tracker.init_scan(empty_state(cfg), g_dev[0], d_dev[0], cfg)
-        carry, T_all, stats = scan_tracker.track_sequence_scan(
-            carry, g_dev[1:], d_dev[1:], cfg
+    vocab_path = find_checkpoint("orbvoc_synth.npz")
+    vocab = voc.load_binary(vocab_path) if vocab_path else None
+    va = scan_tracker.VocabArrays.from_vocabulary(vocab) if vocab else None
+
+    gt = seq.gt_positions()
+
+    def run_cfg(name):
+        use_vocab = name in ("full_slam", "dynamic", "semantic") and va is not None
+        use_flow = name in ("dynamic",)
+        kw = {}
+        if use_vocab:
+            kw = dict(vocab=va, voc_k=vocab.k, voc_depth=vocab.depth,
+                      voc_words=vocab.n_words)
+
+        def run():
+            carry = scan_tracker.init_scan(
+                empty_state(cfg), g_dev[0], d_dev[0], cfg,
+                vocab=va if use_vocab else None,
+                voc_k=vocab.k if use_vocab else 10,
+                voc_depth=vocab.depth if use_vocab else 3,
+            )
+            carry, T_all, stats = scan_tracker.track_sequence_scan(
+                carry, g_dev[1:], d_dev[1:], cfg,
+                prev_grays=g_dev[:-1] if use_flow else None,
+                use_flow=use_flow, **kw,
+            )
+            return carry, T_all, stats
+
+        # Warmup/compile (materialize to host — block_until_ready alone
+        # does not reliably synchronize through the remote-TPU relay).
+        carry, T_all, stats = run()
+        np.asarray(T_all)
+
+        semantic_extra = None
+        if name == "semantic":
+            semantic_extra = make_semantic_pass(carry, cfg)
+            semantic_extra()  # warm
+
+        phase(f"compile+warmup [{name}]")
+
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out = run()
+            if semantic_extra is not None:
+                semantic_extra()
+        T_host = np.asarray(out[1])
+        stats_host = np.asarray(out[2])
+        dt = (time.perf_counter() - t0) / REPS
+        fps = (N_FRAMES - 1) / dt
+
+        pos = np.concatenate([np.eye(4, dtype=np.float32)[None], T_host])
+        est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in pos])
+        res = evaluate_ate_xyz(est, gt)
+        n_kfs = int(stats_host[-1, 2])
+        loops = stats_host[:, 3][stats_host[:, 3] >= 0]
+        print(
+            f"# [{name}] {N_FRAMES} frames in {dt:.2f}s -> {fps:.1f} fps; "
+            f"ATE RMSE {res.rmse:.4f} m; "
+            f"ok={int((stats_host[:, 0] == 0).sum())}/{len(stats_host)} "
+            f"kfs={n_kfs} loop_events={len(loops)}",
+            file=sys.stderr,
         )
-        return carry, T_all, stats
+        return fps, res.rmse, n_kfs, len(loops)
 
-    # Warmup/compile (materialize to host — block_until_ready alone does
-    # not reliably synchronize through the remote-TPU relay).
-    carry, T_all, stats = run()
-    np.asarray(T_all)
-    phase("compile+warmup")
+    def make_semantic_pass(carry, cfg):
+        """Batched keyframe consumers: SSD detection over keyframe images
+        + occupancy insertion (RunDetect + UpdateOctomap equivalents)."""
+        import functools
 
-    # Time REPS independent full runs with a single host sync at the
-    # end: each remote-relay round trip costs ~50-100 ms, which is >10%
-    # of one 0.4 s scan — amortizing over several runs removes the noise.
-    REPS = int(os.environ.get("BENCH_REPS", "3"))
-    t0 = time.perf_counter()
-    outs = [run() for _ in range(REPS)]
-    T_host = np.asarray(outs[-1][1])
-    stats_host = np.asarray(outs[-1][2])
-    dt = (time.perf_counter() - t0) / REPS
-    fps = (N_FRAMES - 1) / dt
+        from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
+        from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
+            empty_grid,
+            insert_scan,
+        )
+        from orb_slam2_ssd_semantic_tpu.dense.pointcloud import keyframe_cloud
+        from orb_slam2_ssd_semantic_tpu.geometry import se3 as se3_ops
 
-    poses = np.concatenate([np.eye(4, dtype=np.float32)[None], T_host])
-    est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in poses])
-    res = evaluate_ate_xyz(est, seq.gt_positions())
-    stats = stats_host
-    print(
-        f"# {N_FRAMES} frames in {dt:.2f}s on-device; ATE RMSE {res.rmse:.4f} m; "
-        f"ok_frames={int((stats[:, 0] == 0).sum())}/{len(stats)} "
-        f"kfs={int(stats[-1, 2])}",
-        file=sys.stderr,
-    )
+        det = Detector(cfg.semantic)
+        state = carry.state
+        kf_valid = np.asarray(state.kfs.valid)
+        kf_frames = np.asarray(state.kfs.frame_id)[kf_valid]
+        kf_slots = np.nonzero(kf_valid)[0]
+        kf_frames = np.clip(kf_frames, 0, N_FRAMES - 1)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def consume(g_dev, d_dev, T_cw_all, grid_lo):
+            grid = empty_grid(extent=(16.0, 4.0, 16.0), resolution=0.1,
+                              origin=(-2.0, 0.0, -2.0))
+            grid = grid._replace(log_odds=grid_lo)
+
+            def body(grid, inp):
+                fi, slot = inp
+                gray = g_dev[fi].astype(jnp.float32)
+                depth = d_dev[fi].astype(jnp.float32) * 1e-3
+                rgb = jnp.repeat(gray[..., None], 3, -1)
+                dd = det._detect(det.params, rgb, cfg.camera.height,
+                                 cfg.camera.width)
+                T_cw = T_cw_all[slot]
+                pts, valid, _ = keyframe_cloud(
+                    depth, T_cw, cfg.camera, cfg.dense)
+                origin = se3_ops.se3_inverse(T_cw)[:3, 3]
+                grid = insert_scan(grid, origin, pts, valid, cfg=cfg.dense)
+                return grid, dd.valid.sum()
+
+            grid, ndet = jax.lax.scan(
+                body, grid,
+                (jnp.asarray(kf_frames, jnp.int32),
+                 jnp.asarray(kf_slots, jnp.int32)),
+            )
+            return grid.log_odds, ndet
+
+        grid0 = jnp.zeros((160, 40, 160), jnp.float32)
+
+        def go():
+            lo, nd = consume(g_dev, d_dev, carry.state.kfs.T_cw, grid0)
+            np.asarray(nd)
+            return lo
+
+        return go
+
+    results = {}
+    for name in CONFIGS:
+        results[name] = run_cfg(name)
+
+    print("# config        fps     ATE(m)   kfs  loop_events", file=sys.stderr)
+    for name, (fps, ate, kfs, loops) in results.items():
+        print(
+            f"# {name:12s} {fps:7.1f} {ate:8.4f} {kfs:4d} {loops:4d}",
+            file=sys.stderr,
+        )
+
+    fps, ate, kfs, loops = results[PRIMARY if PRIMARY in results else CONFIGS[0]]
     print(
         json.dumps(
             {

@@ -176,6 +176,72 @@ def main():
         )
     )
 
+    # ---- essential-graph optimization at the same 10k-KF regime ----------
+    # (Optimizer::OptimizeEssentialGraph equivalent; the dense (6F, 6F)
+    # path is impossible here — this times the matrix-free PCG solver,
+    # mapping/pose_graph.py::optimize_pose_graph_pcg.)
+    from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
+        PoseGraph,
+        optimize_pose_graph_pcg,
+    )
+
+    T0 = np.asarray(state.kfs.T_cw)[:F]
+    # Edges: odometry chain + skip-5 covis + one loop edge (measured from
+    # the drift-free ground truth so the solver has real work to do).
+    ei = np.concatenate([
+        np.arange(F - 1), np.arange(F - 5), np.asarray([0])
+    ]).astype(np.int32)
+    ej = np.concatenate([
+        np.arange(1, F), np.arange(5, F), np.asarray([F - 1])
+    ]).astype(np.int32)
+    Tji = np.einsum(
+        "eij,ejk->eik", T_gt[ej], np.linalg.inv(T_gt[ei])
+    ).astype(np.float32)
+    w = np.concatenate([
+        np.full(F - 1, 100.0), np.full(F - 5, 30.0), np.asarray([500.0])
+    ]).astype(np.float32)
+    graph = PoseGraph(
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Tji),
+        jnp.asarray(w), jnp.ones((len(ei),), bool),
+    )
+    PG_ITERS = 20
+    PG_CG = 50
+
+    def run_pg():
+        T = optimize_pose_graph_pcg(
+            jnp.asarray(T0), state.kfs.valid[:F], graph,
+            iters=PG_ITERS, cg_iters=PG_CG,
+        )
+        np.asarray(T[0])
+        return T
+
+    T_pg = run_pg()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        T_pg = run_pg()
+        times.append(time.perf_counter() - t0)
+    dt_pg = sorted(times)[1]
+    err_pg = np.linalg.norm(
+        np.asarray(T_pg)[:, :3, 3] - T_gt[:, :3, 3], axis=-1
+    )
+    print(
+        f"# pose graph F={F} E={len(ei)}: {dt_pg:.2f}s for {PG_ITERS} GN "
+        f"iters x {PG_CG} CG; median |t err| {np.median(err_pg)*100:.2f} cm "
+        f"(init 5 cm)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pose_graph_ms_per_iter_10k_kf",
+                "value": round(dt_pg * 1000.0 / PG_ITERS, 1),
+                "unit": "ms",
+                "vs_baseline": None,
+            }
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

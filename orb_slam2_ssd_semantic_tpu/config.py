@@ -161,6 +161,12 @@ class TrackingConfig:
     # trajectory re-anchors to the refined poses at save time). Set
     # False to re-anchor the live pose on BA output every keyframe.
     async_mapping: bool = True
+    # Fixed candidate-set size for local-map matching (the dense-masked
+    # SearchLocalPoints window, Tracking.cc:2631). The (C x K) Hamming
+    # matrix is the biggest per-frame matmul; the in-frustum count on
+    # room-scale maps rarely exceeds ~1.5k, so 2048 halves that traffic
+    # vs round 2's hardwired 4096. Clamped to the map-point capacity.
+    local_map_candidates: int = 2048
 
 
 @dataclass(frozen=True)
@@ -191,6 +197,11 @@ class OptimizerConfig:
     lm_lambda_init: float = 1e-4
     lm_lambda_max: float = 1e2
     lm_lambda_min: float = 1e-8
+    # Dtype of the local-BA incidence/Schur reduction GEMMs ("bfloat16"
+    # or "float32"). bf16 halves the dominant HBM read of each GN
+    # iteration; accumulation stays f32 on the MXU. The bf16-vs-f32
+    # convergence parity is pinned by tests/test_ba_bf16_parity.py.
+    ba_reduction_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)
@@ -237,6 +248,12 @@ class MapConfig:
     # covisible neighbors (LocalMapping::CreateNewMapPoints; required
     # for monocular, extends RGB-D beyond the depth range).
     triangulate_new_points: bool = True
+    # Capacity of the device-side keyframe-retirement record ring
+    # (map_state.RetiredRing): spanning-tree (uid, parent_uid, T_rel)
+    # entries written at cull/evict time so trajectory references survive
+    # slot reuse. Chains older than this many retirements fall back to
+    # the broken-chain resolver.
+    retired_ring_capacity: int = 2048
 
 
 @dataclass(frozen=True)
@@ -263,12 +280,15 @@ class LoopConfig:
     # Run full-map bundle adjustment after each accepted loop correction
     # (the GBA thread of LoopClosing.cc:773-826).
     run_global_ba: bool = True
-    # Optional DBoW2 vocabulary (.txt DBoW2 text format or .npz from
-    # io/vocabulary.save_binary). When set, place recognition uses the
-    # hierarchical vocabulary + L1 scoring (ORBVocabulary parity,
-    # System.cc:120-136 loads txt or bin by suffix); otherwise the flat
-    # random codebook (place_recognition.py) is used.
-    vocabulary_path: str | None = None
+    # DBoW2 vocabulary (.txt DBoW2 text format or .npz from
+    # io/vocabulary.save_binary). Place recognition uses the hierarchical
+    # vocabulary + L1 scoring (ORBVocabulary parity, System.cc:120-136
+    # loads txt or bin by suffix). The default "auto" resolves the
+    # TRAINED artifact checkpoints/orbvoc_synth.npz like the reference
+    # always boots ORBvoc; if absent it falls back (with a warning) to
+    # the flat random codebook (place_recognition.py). None forces the
+    # codebook.
+    vocabulary_path: str | None = "auto"
     # Binary global descriptor dimensionality for place recognition
     # (TPU-native replacement of the 1M-node DBoW2 tree; SURVEY.md §7
     # hard part #6).
@@ -298,10 +318,16 @@ class DynamicConfig:
     geom_max_cur_depth: float = 7.0
     # Parallax gate in degrees (Geometry.cc:211-228).
     geom_max_parallax_deg: float = 30.0
-    # Dynamic if |projected - measured depth| > 0.6 m with patch depth
-    # variance < 1e-3 over a 20x20 patch (Geometry.cc:378-461).
+    # Dynamic if |projected - measured depth| > 0.6 m with consistent
+    # local depth (Geometry.cc:378-461). The variance gate is in SI
+    # units (m^2): the box-filtered valid-pixel depth variance around the
+    # reprojection must be below this. The reference thresholds raw
+    # 41x41-patch variance (zeros included) at 1e-3 m^2 — a gate that
+    # mostly rejects depth-edge/hole regions; our valid-only variance
+    # admits those, so the tuned equivalent operating point is 0.1 m^2
+    # (rejects straddling depth discontinuities > ~0.3 m spread).
     geom_depth_diff_th: float = 0.6
-    geom_patch_var_th: float = 1e-3
+    geom_patch_var_th: float = 0.1
     geom_patch_size: int = 20
     # Region growing threshold 0.2 m, dilate 31x31 (Geometry.cc:475-518).
     geom_grow_threshold: float = 0.2
@@ -321,6 +347,10 @@ class SemanticConfig:
 
     # Detector input resolution (Detector.cc:30).
     det_input_size: int = 300
+    # SSD weights: "auto" resolves checkpoints/ssdlite_synthetic.npz (the
+    # reference hardcodes and always loads its ncnn model,
+    # Detector.cc:22-23); a path loads that file; None keeps random init.
+    checkpoint_path: str | None = "auto"
     num_classes: int = 21  # VOC-20 + background (Detector.cc:52-57)
     # Detection probability gate for fusion (Merge2d3d.cc:48).
     fusion_prob_threshold: float = 0.54
@@ -371,6 +401,11 @@ class DenseMapConfig:
     # Dense block map: world is tiled into blocks of block_size^3 voxels.
     block_size: int = 16
     max_blocks: int = 8192
+    # Unbounded mapping: tile the world into on-demand 64^3-voxel blocks
+    # (BlockGridMap) instead of one fixed working volume — the octree's
+    # grow-anywhere capability. False keeps the single dense grid.
+    unbounded: bool = True
+    block_voxels: int = 64
     # Raycast step cap (DDA) in voxels.
     max_ray_steps: int = 128
     voxel_leaf_size: float = 0.01  # voxel filter before insertion

@@ -150,7 +150,7 @@ def geometry_dynamic_mask(
         & meas_ok
         & (d_meas > 1e-3)
         & ((z_proj - d_meas) > cfg.geom_depth_diff_th)
-        & (var_at < cfg.geom_patch_var_th * 100.0)
+        & (var_at < cfg.geom_patch_var_th)
     )
 
     # ---- seed mask + depth-similarity region growing ----------------------

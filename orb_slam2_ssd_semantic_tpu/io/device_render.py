@@ -74,8 +74,14 @@ def _texture(u, v, s):
     return 30.0 + 200.0 * t
 
 
-def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes, seed):
-    """One point-sampled render: (gray (H, W), depth (H, W))."""
+def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed):
+    """One point-sampled render: (gray (H, W), depth (H, W)).
+
+    Fully vectorized over walls and furniture boxes (stacked (B, 2, 3)
+    array; slab method batched over B) — no per-box Python unrolling, so
+    the traced program stays small and compiles fast even through the
+    remote-TPU relay (round 2's unrolled variant put the driver one
+    cache eviction away from a compile timeout)."""
     h, w = cam.height, cam.width
     u = jnp.arange(w, dtype=jnp.float32)[None, :] + du
     v = jnp.arange(h, dtype=jnp.float32)[:, None] + dv
@@ -84,58 +90,58 @@ def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes, seed):
     dz = jnp.ones((h, w), jnp.float32)
     R = T_wc[:3, :3]
     o = T_wc[:3, 3]
-    dirs = [
+    dirs = jnp.stack([
         R[0, 0] * dx + R[0, 1] * dy + R[0, 2] * dz,
         R[1, 0] * dx + R[1, 1] * dy + R[1, 2] * dz,
         R[2, 0] * dx + R[2, 1] * dy + R[2, 2] * dz,
-    ]
+    ])  # (3, H, W)
+    denom = jnp.where(jnp.abs(dirs) < 1e-9, 1e-9, dirs)
 
-    sx, sy, sz = size
-    bounds = ((0.0, sx), (0.0, sy), (0.0, sz))
-    t_best = jnp.full((h, w), jnp.inf, jnp.float32)
-    face_best = jnp.full((h, w), -1, jnp.int32)
-    axis_best = jnp.zeros((h, w), jnp.int32)
+    size_v = jnp.asarray(size, jnp.float32)
 
-    # Room walls (viewed from inside).
-    for axis in range(3):
-        for side in range(2):
-            d = dirs[axis]
-            denom = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
-            t = (bounds[axis][side] - o[axis]) / denom
-            ok = t > 1e-6
-            for other in range(3):
-                if other == axis:
-                    continue
-                ho = o[other] + t * dirs[other]
-                ok &= (ho >= -1e-4) & (ho <= bounds[other][1] + 1e-4)
-            closer = ok & (t < t_best)
-            t_best = jnp.where(closer, t, t_best)
-            face_best = jnp.where(closer, axis * 2 + side, face_best)
-            axis_best = jnp.where(closer, axis, axis_best)
+    # Room walls (viewed from inside): 6 faces = axis a, side s.
+    # t = (bound - o_a) / d_a for each (a, s); in-bounds test on the two
+    # other coordinates.
+    bound = jnp.stack([jnp.zeros(3), size_v], axis=1)  # (3, 2)
+    t_wall = (bound[:, :, None, None] - o[:, None, None, None]) / denom[:, None]
+    hitw = o[:, None, None, None, None] + t_wall[None] * dirs[:, None, None]
+    # hitw: (3 coord, 3 axis, 2 side, H, W)
+    inb = (hitw >= -1e-4) & (hitw <= size_v[:, None, None, None, None] + 1e-4)
+    not_self = ~jnp.eye(3, dtype=bool)  # (coord, axis)
+    ok_w = (t_wall > 1e-6) & jnp.all(
+        inb | ~not_self[:, :, None, None, None], axis=0
+    )  # (3, 2, H, W)
+    t_w = jnp.where(ok_w, t_wall, jnp.inf).reshape(6, h, w)
+    wall_face = jnp.argmin(t_w, axis=0)  # axis*2+side
+    t_wall_best = jnp.min(t_w, axis=0)
+    wall_axis = wall_face // 2
 
-    # Furniture boxes (viewed from outside): slab method.
-    for bi, (bmin, bmax) in enumerate(boxes):
-        tnear = jnp.full((h, w), -jnp.inf, jnp.float32)
-        tfar = jnp.full((h, w), jnp.inf, jnp.float32)
-        enter_axis = jnp.zeros((h, w), jnp.int32)
-        for axis in range(3):
-            d = dirs[axis]
-            denom = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
-            t1 = (bmin[axis] - o[axis]) / denom
-            t2 = (bmax[axis] - o[axis]) / denom
-            tlo = jnp.minimum(t1, t2)
-            thi = jnp.maximum(t1, t2)
-            enter_axis = jnp.where(tlo > tnear, axis, enter_axis)
-            tnear = jnp.maximum(tnear, tlo)
-            tfar = jnp.minimum(tfar, thi)
-        hit_ok = (tnear > 1e-6) & (tnear <= tfar)
-        closer = hit_ok & (tnear < t_best)
-        t_best = jnp.where(closer, tnear, t_best)
-        face_best = jnp.where(closer, 6 + bi * 3 + enter_axis, face_best)
-        axis_best = jnp.where(closer, enter_axis, axis_best)
+    # Furniture boxes (viewed from outside): slab method over (B,).
+    bmin = boxes_arr[:, 0]  # (B, 3)
+    bmax = boxes_arr[:, 1]
+    t1 = (bmin[:, :, None, None] - o[None, :, None, None]) / denom[None]
+    t2 = (bmax[:, :, None, None] - o[None, :, None, None]) / denom[None]
+    tlo = jnp.minimum(t1, t2)  # (B, 3, H, W)
+    thi = jnp.maximum(t1, t2)
+    tnear = jnp.max(tlo, axis=1)  # (B, H, W)
+    tfar = jnp.min(thi, axis=1)
+    enter_axis = jnp.argmax(tlo, axis=1).astype(jnp.int32)  # (B, H, W)
+    hit_ok = (tnear > 1e-6) & (tnear <= tfar)
+    t_b = jnp.where(hit_ok, tnear, jnp.inf)  # (B, H, W)
+    bi = jnp.argmin(t_b, axis=0)  # (H, W)
+    t_box_best = jnp.min(t_b, axis=0)
+    box_axis = jnp.take_along_axis(enter_axis, bi[None], axis=0)[0]
+
+    box_wins = t_box_best < t_wall_best
+    t_best = jnp.where(box_wins, t_box_best, t_wall_best)
+    face_best = jnp.where(
+        box_wins, 6 + bi * 3 + box_axis, wall_face
+    )
+    face_best = jnp.where(jnp.isfinite(t_best), face_best, -1)
+    axis_best = jnp.where(box_wins, box_axis, wall_axis)
 
     # Texture lookup: one evaluation with per-pixel plane coords + seed.
-    hit = [o[c] + t_best * dirs[c] for c in range(3)]
+    hit = o[:, None, None] + t_best[None] * dirs  # (3, H, W)
     uc = jnp.where(axis_best == 0, hit[1], hit[0])
     vc = jnp.where(axis_best <= 1, hit[2], hit[1])
     s = jnp.where(face_best >= 0, seed * 7 + face_best, 0)
@@ -164,21 +170,30 @@ def render_frames(
     the center ray, like a real depth camera."""
     if boxes is None:
         boxes = tuple(_default_boxes(size))
+    boxes_arr = jnp.asarray(boxes, jnp.float32)  # (B, 2, 3)
+
+    offs = jnp.asarray(
+        [
+            ((ix + 0.5) / ss - 0.5, (iy + 0.5) / ss - 0.5)
+            for iy in range(ss)
+            for ix in range(ss)
+        ],
+        jnp.float32,
+    )  # (ss*ss, 2)
 
     def one(T_wc):
-        gray = jnp.zeros((cam.height, cam.width), jnp.float32)
-        depth = None
-        for iy in range(ss):
-            for ix in range(ss):
-                du = (ix + 0.5) / ss - 0.5
-                dv = (iy + 0.5) / ss - 0.5
-                g, d = _render_once(T_wc, du, dv, cam, size, boxes, seed)
-                gray = gray + g
-                if abs(du) < 0.5 / ss and abs(dv) < 0.5 / ss:
-                    depth = d
-        if depth is None:  # even ss: render the exact center ray
-            _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes, seed)
-        gray = gray / (ss * ss)
+        # Subsamples via lax.map: the render body is traced ONCE, not
+        # ss^2 times — the program is ~9x smaller and compiles that much
+        # faster (the data phase's wall-clock risk is compile, not
+        # compute).
+        def sub(off):
+            g, _ = _render_once(
+                T_wc, off[0], off[1], cam, size, boxes_arr, seed
+            )
+            return g
+        gray = jnp.mean(jax.lax.map(sub, offs), axis=0)
+        # Depth uses the exact center ray, like a real depth camera.
+        _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes_arr, seed)
         g8 = jnp.clip(gray, 0, 255).astype(jnp.uint8)
         d16 = jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16)
         return g8, d16

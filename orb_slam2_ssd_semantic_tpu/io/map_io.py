@@ -23,7 +23,7 @@ import numpy as np
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, empty_state
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def save_map(path: str, state: SlamState) -> None:
@@ -59,6 +59,11 @@ def save_map(path: str, state: SlamState) -> None:
         kf_parent_uid=np.asarray(state.kfs.parent_uid),
         kf_T_rel_parent=np.asarray(state.kfs.T_rel_parent),
         kf_valid=np.asarray(state.kfs.valid),
+        # retirement ring (v3): durable spanning-tree records
+        ret_uid=np.asarray(state.retired.uid),
+        ret_parent_uid=np.asarray(state.retired.parent_uid),
+        ret_T_rel=np.asarray(state.retired.T_rel),
+        ret_count=int(state.retired.count),
     )
 
 
@@ -67,7 +72,7 @@ def load_map(path: str, cfg: SlamConfig) -> SlamState:
 
     z = np.load(path)
     version = int(z["version"])
-    if version not in (1, 2):
+    if version not in (1, 2, 3):
         raise ValueError(f"unknown map format version {version}")
     state = empty_state(cfg)
     P = cfg.map.max_map_points
@@ -138,8 +143,21 @@ def load_map(path: str, cfg: SlamConfig) -> SlamState:
         last_kf = int(z["last_kf"])
         next_uid = int(z["next_uid"])
 
+    retired = state.retired
+    if version >= 3 and "ret_uid" in z.files:
+        n_ret = min(z["ret_uid"].shape[0], retired.uid.shape[0])
+        retired = retired._replace(
+            uid=retired.uid.at[:n_ret].set(jnp.asarray(z["ret_uid"][:n_ret])),
+            parent_uid=retired.parent_uid.at[:n_ret].set(
+                jnp.asarray(z["ret_parent_uid"][:n_ret])
+            ),
+            T_rel=retired.T_rel.at[:n_ret].set(jnp.asarray(z["ret_T_rel"][:n_ret])),
+            count=jnp.int32(int(z["ret_count"])),
+        )
+
     return SlamState(
         pts, kfs,
         jnp.int32(n_pts), jnp.int32(n_kfs),
         jnp.int32(last_kf), jnp.int32(next_uid),
+        retired,
     )

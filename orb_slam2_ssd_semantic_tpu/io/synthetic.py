@@ -82,6 +82,77 @@ def _default_boxes(size):
     ]
 
 
+def loop_room_boxes(size):
+    """Furniture flush against ALL FOUR vertical walls — the scene for
+    circuit (loop-closure) trajectories, where the camera faces every
+    wall in turn and needs multi-depth structure everywhere (the
+    single-wall `_default_boxes` layout leaves three walls bare, which
+    makes sideways views nearly planar and pose estimation
+    ill-conditioned)."""
+    sx, sy, sz = size
+    out = []
+    # +z wall (same spirit as _default_boxes, scaled to the room).
+    out += [
+        ((0.15 * sx, 0.20 * sy, sz - 1.4), (0.35 * sx, 0.55 * sy, sz)),
+        ((0.55 * sx, 0.45 * sy, sz - 1.8), (0.75 * sx, 0.80 * sy, sz)),
+        ((0.40 * sx, 0.62 * sy, sz - 1.0), (0.52 * sx, 0.90 * sy, sz)),
+    ]
+    # -z wall.
+    out += [
+        ((0.20 * sx, 0.30 * sy, 0.0), (0.42 * sx, 0.70 * sy, 1.5)),
+        ((0.60 * sx, 0.15 * sy, 0.0), (0.82 * sx, 0.50 * sy, 1.1)),
+    ]
+    # +x wall.
+    out += [
+        ((sx - 1.3, 0.25 * sy, 0.20 * sz), (sx, 0.60 * sy, 0.38 * sz)),
+        ((sx - 0.9, 0.50 * sy, 0.55 * sz), (sx, 0.85 * sy, 0.72 * sz)),
+    ]
+    # -x wall.
+    out += [
+        ((0.0, 0.35 * sy, 0.30 * sz), (1.2, 0.75 * sy, 0.48 * sz)),
+        ((0.0, 0.10 * sy, 0.62 * sz), (0.8, 0.45 * sy, 0.80 * sz)),
+    ]
+    return out
+
+
+def loop_trajectory(n_frames: int, room=(8.0, 3.0, 10.0),
+                    laps: float = 1.125, margin: float = 2.2,
+                    look_ahead: float = 0.35):
+    """Circuit trajectory: the camera walks an ellipse around the room
+    interior, heading along the path tangent (like a person surveying a
+    room), and OVERSHOOTS the full lap by `laps - 1` so it re-observes
+    its starting views — the loop-closure regime (the reference's
+    headline sequences are exactly such revisits). Per-frame motion at
+    n_frames=120 is ~3.4 deg yaw + ~15 cm translation: enough view
+    turnover to drive the keyframe cadence near the reference's ~1
+    KF/8-10 frames instead of the gentle orbit's 4-KF idle.
+
+    Returns (n, 4, 4) camera-to-world poses."""
+    sx, sy, sz = room
+    a = sx / 2 - margin
+    b = sz / 2 - margin
+    poses = []
+    for i in range(n_frames):
+        th = 2 * np.pi * laps * i / n_frames
+        x = sx / 2 + a * np.sin(th)
+        z = sz / 2 + b * np.cos(th)
+        y = sy / 2 + 0.08 * np.sin(3.1 * th)
+        # Tangent heading (d/dth of position), slightly smoothed ahead.
+        tx = a * np.cos(th + look_ahead)
+        tz = -b * np.sin(th + look_ahead)
+        yaw = np.arctan2(tx, tz)  # camera +z forward
+        pitch = 0.04 * np.sin(2.3 * th)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R_yaw = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = (R_yaw @ R_pitch).astype(np.float32)
+        T[:3, 3] = [x, y, z]
+        poses.append(T)
+    return np.stack(poses)
+
+
 @dataclass
 class BoxRoom:
     """Axis-aligned box room [0,sx]x[0,sy]x[0,sz] with box "furniture",
@@ -238,10 +309,24 @@ class SyntheticSequence:
     depth_noise: float = 0.0
     fps: float = 30.0
     dynamic_objects: bool = False
+    # "orbit": the original gentle exploratory drift (few keyframes).
+    # "loop": circuit around a larger four-wall-furnished room with a
+    # revisit overshoot — reference-like keyframe cadence + loop closure.
+    trajectory: str = "orbit"
+    room_size: tuple | None = None
 
     def __post_init__(self):
-        self.room = BoxRoom(seed=self.seed, cam=self.cam)
-        self.poses_wc = orbit_trajectory(self.n_frames, self.room.size)
+        if self.trajectory == "loop":
+            size = self.room_size or (8.0, 3.0, 10.0)
+            self.room = BoxRoom(
+                size=size, seed=self.seed, cam=self.cam,
+                boxes=loop_room_boxes(size),
+            )
+            self.poses_wc = loop_trajectory(self.n_frames, size)
+        else:
+            size = self.room_size or (5.0, 3.0, 6.0)
+            self.room = BoxRoom(size=size, seed=self.seed, cam=self.cam)
+            self.poses_wc = orbit_trajectory(self.n_frames, size)
         self.stamps = np.arange(self.n_frames) / self.fps
         self._rng = np.random.default_rng(self.seed)
 

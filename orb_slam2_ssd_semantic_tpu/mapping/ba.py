@@ -155,9 +155,10 @@ def local_bundle_adjust(
     slot = jnp.clip(prob.point_slot, 0, N - 1)
     # bf16 incidence: it only holds 0/1 (exact in bf16) and it is the
     # dominant HBM read of every GN iteration — half the bytes.
+    red_dtype = jnp.dtype(cfg.ba_reduction_dtype)
     onehot = (
         (slot[..., None] == jnp.arange(N, dtype=slot.dtype)) & obs_valid[..., None]
-    ).astype(jnp.bfloat16)  # (W, K, N)
+    ).astype(red_dtype)  # (W, K, N)
 
     def gn_step(T_cw, points, inlier_w, use_huber):
         # Component-vector algebra: every per-observation quantity is a
@@ -213,7 +214,7 @@ def local_bundle_adjust(
         # noise floor — while accumulation stays f32 on the MXU).
         stack30 = jnp.concatenate([pp12, Hcp_c], axis=0)  # (30, W, K)
         per_w = jnp.einsum(
-            "cwk,wkn->wcn", stack30.astype(jnp.bfloat16), onehot,
+            "cwk,wkn->wcn", stack30.astype(red_dtype), onehot,
             preferred_element_type=jnp.float32,
         )  # (W, 30, N)
         red = jnp.sum(per_w[:, :12, :], axis=0)  # (12, N)

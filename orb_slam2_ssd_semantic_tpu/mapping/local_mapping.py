@@ -164,9 +164,12 @@ def _apply_merges(state: SlamState, loser: jnp.ndarray, winner: jnp.ndarray) -> 
     remap = jnp.arange(P + 1, dtype=jnp.int32)
     winner_eff = jnp.where(loser < P, winner, P)
     remap = remap.at[jnp.clip(loser, 0, P)].set(winner_eff)
-    # Collapse chains (a->b->c) and cancel 2-cycles to identity.
-    remap = remap[remap]
-    remap = remap[remap]
+    # Collapse chains (a->b->c->...) by repeated squaring: winner
+    # selection is a strict order (more obs, then lower id) so the merge
+    # graph is acyclic; 5 squarings resolve chains up to depth 32, and
+    # the stale-reference clear below catches anything deeper.
+    for _ in range(5):
+        remap = remap[remap]
     self_mapped = remap[:P] == jnp.arange(P)
     merged = (~self_mapped) & pts.valid
     w_of = remap[:P]
@@ -182,6 +185,12 @@ def _apply_merges(state: SlamState, loser: jnp.ndarray, winner: jnp.ndarray) -> 
 
     kp = state.kfs.kp_point
     kp = jnp.where(kp >= 0, remap[jnp.clip(kp, 0, P)], kp)
+    # Insurance against merge chains deeper than the squaring depth: a
+    # keypoint still bound to an invalidated loser is exactly the
+    # slot-reuse rebind hazard clear_point_refs exists to prevent.
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import clear_point_refs
+
+    kp = clear_point_refs(kp, merged)
     return state._replace(
         points=pts,
         kfs=state.kfs._replace(kp_point=kp),
@@ -270,7 +279,13 @@ def _fuse_directions_batched(state: SlamState, src, dst, ok_d, cfg: SlamConfig
     kp = kfs.kp_point.at[
         jnp.where(bind, rows, F), jnp.where(bind, j, 0)
     ].set(jnp.where(bind, ids, -1), mode="drop")
-    n_obs = pts.n_obs.at[jnp.where(bind, ids, P).reshape(-1)].add(
+    # Observation counts derive from the cells that ACTUALLY became
+    # bound (one increment per newly bound cell): when two directions
+    # propose different points for the same (dst, j) cell, only the
+    # surviving binding's point gets credited — incrementing from the
+    # proposals would leave the loser's n_obs permanently inflated.
+    new_bound = (kp >= 0) & (kfs.kp_point < 0)
+    n_obs = pts.n_obs.at[jnp.where(new_bound, kp, P).reshape(-1)].add(
         1, mode="drop"
     )
     state = state._replace(
@@ -683,8 +698,14 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
         parent_uid=jnp.where(cull, uid[parent], kfs.parent_uid),
         T_rel_parent=jnp.where(cull[:, None, None], T_rel, kfs.T_rel_parent),
     )
+    # Durable copy of the retirement records: the slot-resident fields
+    # above are destroyed on slot reuse, which during a device-side scan
+    # happens before the host can snapshot them.
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import push_retired
+
+    retired = push_retired(state.retired, cull, uid, uid[parent], T_rel)
     return state._replace(
-        points=pts, kfs=kfs,
+        points=pts, kfs=kfs, retired=retired,
         n_kfs=state.n_kfs - jnp.sum(cull.astype(jnp.int32)),
     )
 

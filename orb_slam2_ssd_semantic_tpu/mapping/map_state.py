@@ -75,6 +75,23 @@ class KeyFrames(NamedTuple):
     valid: jnp.ndarray  # (F,) bool
 
 
+class RetiredRing(NamedTuple):
+    """Device-side ring buffer of keyframe retirement records.
+
+    Slot-resident retirement info (KeyFrames.parent_uid/T_rel_parent) is
+    destroyed the moment a slot is reused; during a long device-side
+    `lax.scan` the host never gets a chance to snapshot it. Every cull or
+    ring-buffer eviction therefore ALSO appends (uid, parent_uid, T_rel)
+    here, so trajectory references to retired keyframes resolve through
+    the spanning tree regardless of when the host looks
+    (SaveTrajectoryTUM chain semantics, System.cc:487-493)."""
+
+    uid: jnp.ndarray  # (R,) int32 retired keyframe uid (-1 = empty)
+    parent_uid: jnp.ndarray  # (R,) int32 spanning-tree parent uid
+    T_rel: jnp.ndarray  # (R, 4, 4) T_cw(retired) @ inv(T_cw(parent))
+    count: jnp.ndarray  # () int32 total records ever pushed
+
+
 class SlamState(NamedTuple):
     points: MapPoints
     kfs: KeyFrames
@@ -82,6 +99,7 @@ class SlamState(NamedTuple):
     n_kfs: jnp.ndarray  # () int32 — count of LIVE keyframes
     last_kf: jnp.ndarray  # () int32 — slot of the newest keyframe
     next_uid: jnp.ndarray  # () int32 — next keyframe uid to assign
+    retired: RetiredRing
 
 
 def empty_state(cfg: SlamConfig) -> SlamState:
@@ -117,9 +135,39 @@ def empty_state(cfg: SlamConfig) -> SlamState:
         T_rel_parent=jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1)),
         valid=jnp.zeros((F,), bool),
     )
+    R = cfg.map.retired_ring_capacity
+    retired = RetiredRing(
+        uid=jnp.full((R,), -1, jnp.int32),
+        parent_uid=jnp.full((R,), -1, jnp.int32),
+        T_rel=jnp.tile(jnp.eye(4, dtype=jnp.float32), (R, 1, 1)),
+        count=jnp.int32(0),
+    )
     return SlamState(
         points, kfs,
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        retired,
+    )
+
+
+def push_retired(
+    ring: RetiredRing,
+    mask: jnp.ndarray,  # (N,) bool — which rows to record
+    uids: jnp.ndarray,  # (N,) int32
+    parent_uids: jnp.ndarray,  # (N,) int32
+    T_rels: jnp.ndarray,  # (N, 4, 4)
+) -> RetiredRing:
+    """Append the masked records at the ring cursor (oldest records are
+    overwritten once the ring wraps — trajectory chains older than R
+    retirements then fall back to the broken-chain resolver)."""
+    R = ring.uid.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = (ring.count + rank) % R
+    pos_safe = jnp.where(mask, pos, R)
+    return ring._replace(
+        uid=ring.uid.at[pos_safe].set(uids, mode="drop"),
+        parent_uid=ring.parent_uid.at[pos_safe].set(parent_uids, mode="drop"),
+        T_rel=ring.T_rel.at[pos_safe].set(T_rels, mode="drop"),
+        count=ring.count + jnp.sum(mask.astype(jnp.int32)),
     )
 
 

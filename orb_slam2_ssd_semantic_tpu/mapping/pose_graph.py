@@ -103,6 +103,108 @@ def optimize_pose_graph(
     return T_out
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_pose_graph_pcg(
+    T_cw: jnp.ndarray,  # (F, 4, 4) initial keyframe poses
+    kf_valid: jnp.ndarray,  # (F,)
+    graph: PoseGraph,
+    fixed: jnp.ndarray | None = None,  # (F,) bool; default: kf 0
+    iters: int = 20,
+    cg_iters: int = 50,
+):
+    """Matrix-free essential-graph Gauss-Newton for LARGE graphs.
+
+    `optimize_pose_graph` materializes the dense (6F, 6F) normal system —
+    fine at the 512-KF default (3072^2), impossible at the 10k-KF
+    BASELINE regime (60k^2 dense ~ 14 GB). This variant never forms H:
+    each CG step applies H through edge-wise gathers and Jacobian
+    products (O(E) work, O(F + E) memory), with a block-Jacobi (6x6 pose
+    block) preconditioner — the same implicit pattern as
+    mapping/global_ba.py. The reference solves this sparsely inside g2o
+    (perfect/src/Optimizer.cc:995-1308); CG over the graph Laplacian is
+    the TPU-native equivalent. Semantics match `optimize_pose_graph`
+    (same residuals, Jacobian approximation, gauge handling)."""
+    F = T_cw.shape[0]
+    if fixed is None:
+        fixed = jnp.arange(F) == 0
+    free = (~fixed) & kf_valid
+    free_f = free.astype(jnp.float32)
+
+    ei = jnp.clip(graph.edge_i, 0, F - 1)
+    ej = jnp.clip(graph.edge_j, 0, F - 1)
+    w = jnp.where(graph.valid & kf_valid[ei] & kf_valid[ej], graph.weight, 0.0)
+
+    def adjoint(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        top = jnp.concatenate([R, se3.hat(t) @ R], axis=1)
+        bot = jnp.concatenate([jnp.zeros((3, 3)), R], axis=1)
+        return jnp.concatenate([top, bot], axis=0)  # (6, 6)
+
+    def gn_step(T, _):
+        Ti = T[ei]
+        Tj = T[ej]
+        M = graph.T_ji @ Ti @ jax.vmap(se3.se3_inverse)(Tj)
+        r = jax.vmap(se3.se3_log)(M)  # (E, 6)
+        J_i = jax.vmap(adjoint)(graph.T_ji)  # (E, 6, 6) — constant per edge
+        J_j = -jax.vmap(adjoint)(M)
+
+        Wr = w[:, None] * r
+        g = jnp.zeros((F, 6), jnp.float32)
+        g = g.at[ei].add(jnp.einsum("eab,ea->eb", J_i, Wr))
+        g = g.at[ej].add(jnp.einsum("eab,ea->eb", J_j, Wr))
+        g = g * free_f[:, None]
+
+        def hv(x):  # x (F, 6) -> H @ x, gauge rows/cols masked
+            xm = x * free_f[:, None]
+            yi = jnp.einsum("eab,eb->ea", J_i, xm[ei])  # J_i x_i
+            yj = jnp.einsum("eab,eb->ea", J_j, xm[ej])
+            y = w[:, None] * (yi + yj)  # (E, 6) = w (J x)_e
+            out = jnp.zeros((F, 6), jnp.float32)
+            out = out.at[ei].add(jnp.einsum("eab,ea->eb", J_i, y))
+            out = out.at[ej].add(jnp.einsum("eab,ea->eb", J_j, y))
+            return out * free_f[:, None] + 1e-5 * xm
+
+        # Block-Jacobi preconditioner from the diagonal pose blocks.
+        Hii = jnp.einsum("eab,e,eac->ebc", J_i, w, J_i)
+        Hjj = jnp.einsum("eab,e,eac->ebc", J_j, w, J_j)
+        diag = jnp.zeros((F, 6, 6), jnp.float32)
+        diag = diag.at[ei].add(Hii)
+        diag = diag.at[ej].add(Hjj)
+        diag = diag + jnp.eye(6)[None] * 1e-5
+        diag_inv = jnp.linalg.inv(diag)
+
+        def prec(x):
+            return jnp.einsum("fab,fb->fa", diag_inv, x) * free_f[:, None]
+
+        # PCG on H dx = -g.
+        b = -g
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Hp = hv(p)
+            denom = jnp.sum(p * Hp)
+            alpha = jnp.where(denom > 1e-12, rz / denom, 0.0)
+            x = x + alpha * p
+            rr_new = rr - alpha * Hp
+            z_new = prec(rr_new)
+            rz_new = jnp.sum(rr_new * z_new)
+            beta = jnp.where(rz > 1e-12, rz_new / rz, 0.0)
+            p_new = z_new + beta * p
+            return (x, rr_new, p_new, rz_new), None
+
+        x0 = jnp.zeros((F, 6), jnp.float32)
+        z0 = prec(b)
+        (dx, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, b, z0, jnp.sum(b * z0)), None, length=cg_iters
+        )
+        dx = dx * free_f[:, None]
+        return jax.vmap(se3.se3_exp)(dx) @ T, None
+
+    T_out, _ = jax.lax.scan(gn_step, T_cw, None, length=iters)
+    return T_out
+
+
 class Sim3Graph(NamedTuple):
     """Sim(3) pose-graph edges: the measured similarity j<-i is
     (s_ji, T_ji[:3,:3], T_ji[:3,3])."""
@@ -233,13 +335,17 @@ def build_graph_arrays(covis, kf_valid, threshold: int, max_edges: int,
         live = [i for i in range(F) if v[i] and u[i] >= 0]
         order = sorted(live, key=lambda i: u[i])
     edges = []
+    chain_pairs = set()
     for a, b in zip(order[:-1], order[1:]):
         edges.append((a, b, max(W[a, b], 1.0)))
+        chain_pairs.add((min(a, b), max(a, b)))
     for i in range(F):
         if not v[i]:
             continue
         for j in range(i + 1, F):
-            if v[j] and W[i, j] >= threshold:
+            # Skip pairs already covered by a spanning-chain edge —
+            # emitting both double-weights the odometry constraint.
+            if v[j] and W[i, j] >= threshold and (i, j) not in chain_pairs:
                 edges.append((i, j, W[i, j]))
     # Normal edges measure the CURRENT relative poses; loop edges carry
     # their own externally-measured transform (the Sim3/rigid estimate),

@@ -78,7 +78,26 @@ class Detector:
     def __init__(self, cfg: SemanticConfig = SemanticConfig(), params=None, seed: int = 0):
         self.cfg = cfg
         self.model, init_params = init_ssdlite(jax.random.PRNGKey(seed), cfg.num_classes)
-        self.params = params if params is not None else init_params
+        if params is None:
+            # Default weights: the trained checkpoint, auto-resolved like
+            # the reference's hardcoded always-loaded ncnn model
+            # (Detector.cc:22-23). Random weights only as the warned
+            # no-artifact fallback.
+            from orb_slam2_ssd_semantic_tpu.io.artifacts import (
+                find_checkpoint,
+                warn_missing,
+            )
+            from orb_slam2_ssd_semantic_tpu.semantic.ssdlite import load_params
+
+            ckpt = None
+            if cfg.checkpoint_path == "auto":
+                ckpt = find_checkpoint("ssdlite_synthetic.npz")
+                if ckpt is None:
+                    warn_missing("ssdlite_synthetic.npz", "random SSD weights")
+            elif cfg.checkpoint_path:
+                ckpt = cfg.checkpoint_path
+            params = load_params(ckpt, init_params) if ckpt else init_params
+        self.params = params
         self.anchors = jnp.asarray(ssd_anchors(cfg.det_input_size))
 
         @functools.partial(jax.jit, static_argnames=("h", "w"))

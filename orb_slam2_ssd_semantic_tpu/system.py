@@ -43,17 +43,26 @@ class SlamSystem:
 
         self.grid = None
         if enable_dense_map:
-            from orb_slam2_ssd_semantic_tpu.dense.occupancy import empty_grid
+            if self.cfg.dense.unbounded:
+                from orb_slam2_ssd_semantic_tpu.dense.occupancy import BlockGridMap
 
-            self.grid = empty_grid(resolution=self.cfg.dense.resolution)
+                self.grid = BlockGridMap(
+                    self.cfg.dense, block_voxels=self.cfg.dense.block_voxels
+                )
+            else:
+                from orb_slam2_ssd_semantic_tpu.dense.occupancy import empty_grid
+
+                self.grid = empty_grid(resolution=self.cfg.dense.resolution)
         self._rng_key = None
         self._last_n_kfs = 0
 
     # ---- per-frame entry (TrackRGBD, System.cc:262-326) -------------------
 
-    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
+    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, stamp: float,
+                   feats=None) -> np.ndarray:
         """rgb: (H, W, 3) uint8 (or (H, W) gray); depth: (H, W) float32
-        meters or uint16 millimeters. Returns T_cw (4, 4)."""
+        meters or uint16 millimeters. Returns T_cw (4, 4). `feats`:
+        optional pre-extracted Features (stereo front end)."""
         import jax
         import jax.numpy as jnp
 
@@ -65,7 +74,7 @@ class SlamSystem:
         was_kf_uid = self.tracker._ref_kf_uid
         was_init = self.tracker.initialized
         self.tracker.allow_new_keyframes = not self.localization_only
-        T_cw = self.tracker.process(gray, depth, stamp)
+        T_cw = self.tracker.process(gray, depth, stamp, feats=feats)
 
         new_kf = self.tracker._ref_kf_uid > was_kf_uid or (
             self.tracker.initialized and not was_init
@@ -82,7 +91,10 @@ class SlamSystem:
         Here: batched extraction over both rectified images, one masked
         row-band Hamming match (ops/stereo.py), and the per-keypoint
         depths are scattered into a sparse depth image consumed by the
-        RGB-D path — stereo and RGB-D share every downstream stage."""
+        RGB-D path — stereo and RGB-D share every downstream stage. The
+        left-image features are handed to the tracker so each image is
+        extracted exactly ONCE (the reference likewise extracts once per
+        image, in two threads, Frame.cc:196-197)."""
         import jax
         import jax.numpy as jnp
 
@@ -96,7 +108,7 @@ class SlamSystem:
         cam, orb = self.cfg.camera, self.cfg.orb
 
         @jax.jit
-        def depth_image(gl, gr):
+        def stereo_front(gl, gr):
             fl = extract(gl.astype(jnp.float32), orb)
             fr = extract(gr.astype(jnp.float32), orb)
             depth, _, ok = stereo_match(fl, fr, cam, orb)
@@ -109,10 +121,11 @@ class SlamSystem:
             flat = jnp.where(oob, cam.width * cam.height, y * cam.width + x)
             img = jnp.zeros((cam.height * cam.width,), jnp.float32)
             img = img.at[flat].set(jnp.where(ok, depth, 0.0), mode="drop")
-            return img.reshape(cam.height, cam.width)
+            return fl, img.reshape(cam.height, cam.width)
 
-        d = np.asarray(depth_image(jnp.asarray(gl), jnp.asarray(gr)))
-        return self.track_rgbd(gl, d, stamp)
+        fl, d_dev = stereo_front(jnp.asarray(gl), jnp.asarray(gr))
+        d = np.asarray(d_dev)
+        return self.track_rgbd(gl, d, stamp, feats=fl)
 
     def track_monocular(self, rgb: np.ndarray, stamp: float) -> np.ndarray:
         """TrackMonocular equivalent (System.cc TrackMonocular).
@@ -239,10 +252,17 @@ class SlamSystem:
             is_ground, _ = split_ground(pts, valid, sub, 1, self.cfg.dense)
             T_wc = np.linalg.inv(np.asarray(T_cw))
             origin = jnp.asarray(T_wc[:3, 3])
-            self.grid = insert_scan(
-                self.grid, origin, pts, valid, colors=colors,
-                carve_only=is_ground, cfg=self.cfg.dense,
-            )
+            from orb_slam2_ssd_semantic_tpu.dense.occupancy import BlockGridMap
+
+            if isinstance(self.grid, BlockGridMap):
+                self.grid.insert_scan(
+                    origin, pts, valid, colors=colors, carve_only=is_ground
+                )
+            else:
+                self.grid = insert_scan(
+                    self.grid, origin, pts, valid, colors=colors,
+                    carve_only=is_ground, cfg=self.cfg.dense,
+                )
 
     # ---- mode switches (System.cc:389-421) --------------------------------
 
@@ -313,15 +333,31 @@ class SlamSystem:
         self.tracker._on_keyframe_inserted()
 
     def save_octomap(self, path: str):
-        from orb_slam2_ssd_semantic_tpu.dense.occupancy import save_grid
+        from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
+            BlockGridMap,
+            save_grid,
+        )
 
         assert self.grid is not None, "dense map not enabled"
-        save_grid(path, self.grid, self.cfg.dense)
+        if isinstance(self.grid, BlockGridMap):
+            self.grid.save(path)
+        else:
+            save_grid(path, self.grid, self.cfg.dense)
 
     def load_octomap(self, path: str):
-        from orb_slam2_ssd_semantic_tpu.dense.occupancy import load_grid
+        from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
+            BlockGridMap,
+            load_grid,
+        )
 
-        self.grid = load_grid(path)
+        import numpy as _np
+
+        with _np.load(path) as z:
+            is_blocks = "block_keys" in z.files
+        if is_blocks:
+            self.grid = BlockGridMap.load(path, self.cfg.dense)
+        else:
+            self.grid = load_grid(path)
 
     def objects(self) -> list:
         from orb_slam2_ssd_semantic_tpu.semantic.object_db import summarize

@@ -3,16 +3,24 @@
 The offline/throughput mode: all frames are uploaded once (compact
 uint8/uint16), the full SLAM update — frame build, motion-model and
 local-map tracking, keyframe decision, keyframe insertion with point
-spawning, windowed local BA, culling — runs as one `lax.scan` with the
-keyframe branch under `lax.cond`, and only the trajectory comes back.
-Zero per-frame host round trips: on hardware where each dispatch/fetch
-costs tens of milliseconds (remote-attached TPU) this is the difference
+spawning, windowed local BA, culling, and (with a vocabulary) per-
+keyframe BoW loop DETECTION — runs as one `lax.scan` with the keyframe
+branch under `lax.cond`, and only the trajectory comes back. Zero
+per-frame host round trips: on hardware where each dispatch/fetch costs
+tens of milliseconds (remote-attached TPU) this is the difference
 between ~1.5 fps and device-limited throughput; it is also exactly the
 XLA-idiomatic shape for batch processing (SURVEY.md §7: keep the
 per-frame path in one jit; static shapes; lax control flow).
 
-Loop closing stays a host-side pass (it is rare and sequence-global);
-run it afterwards on the returned state if desired.
+Loop detection (LoopClosing::DetectLoop, LoopClosing.cc:119-290) runs
+ON DEVICE at every keyframe event: hierarchical-vocabulary quantization,
+L1 TF-IDF scoring against the keyframe database, the min-covis-score
+gate, and a consecutive-consistency counter (covis groups approximated
+by uid-neighborhoods — trajectory-local keyframes ARE the covisible
+group). Flagged candidates come back in the per-frame stats; the rare
+geometric verification + correction (Sim3 + pose graph + GBA) is a
+host-side pass on the returned state, exactly like the reference runs
+CorrectLoop/GBA asynchronously to tracking.
 """
 
 from __future__ import annotations
@@ -25,9 +33,30 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
 from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import local_mapping_step
-from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, empty_state
+from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+    SlamState,
+    covisibility_row,
+    empty_state,
+)
 from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+
+class VocabArrays(NamedTuple):
+    """Device-resident vocabulary (io/vocabulary.Vocabulary tensors)."""
+
+    children: jnp.ndarray  # (n_nodes, k) int32
+    desc: jnp.ndarray  # (n_nodes, 8) uint32
+    word_id: jnp.ndarray  # (n_nodes,) int32
+    idf: jnp.ndarray  # (n_words,) float32
+
+    @classmethod
+    def from_vocabulary(cls, vocab):
+        return cls(
+            jnp.asarray(vocab.children), jnp.asarray(vocab.desc),
+            jnp.asarray(vocab.word_id), jnp.asarray(vocab.word_weight),
+        )
 
 
 class ScanCarry(NamedTuple):
@@ -39,16 +68,50 @@ class ScanCarry(NamedTuple):
     frames_since_kf: jnp.ndarray
     ref_kf_inliers: jnp.ndarray
     frame_idx: jnp.ndarray
+    word_db: jnp.ndarray  # (F, K) int32 per-KF BoW words (-1 empty)
+    val_db: jnp.ndarray  # (F, K) f32 deduped TF-IDF values
+    cons_count: jnp.ndarray  # (F,) int32 consecutive-consistency counters
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def init_scan(state: SlamState, gray0, depth0, cfg: SlamConfig):
+def _empty_bow_db(cfg: SlamConfig):
+    F = cfg.map.max_keyframes
+    K = cfg.orb.max_keypoints
+    return (
+        jnp.full((F, K), -1, jnp.int32),
+        jnp.zeros((F, K), jnp.float32),
+        jnp.zeros((F,), jnp.int32),
+    )
+
+
+def _bow_add(word_db, val_db, slot, desc, valid, vocab: VocabArrays,
+             k: int, depth: int):
+    words = voc._quantize(
+        vocab.children, vocab.desc, vocab.word_id, desc, valid,
+        k=k, depth=depth,
+    )
+    vals = voc.bow_columns(words, vocab.idf)
+    return word_db.at[slot].set(words), val_db.at[slot].set(vals), words, vals
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "voc_k", "voc_depth"),
+    donate_argnames=("state",),
+)
+def init_scan(state: SlamState, gray0, depth0, cfg: SlamConfig,
+              vocab: VocabArrays | None = None, voc_k: int = 10,
+              voc_depth: int = 3):
     frame = tk.build_frame(gray0, depth0, cfg)
     T0 = jnp.eye(4, dtype=jnp.float32)
     kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
     state, kp_point = tk.insert_keyframe(
         state, frame, T0, kp_point, 0, 0.0, cfg, spawn_all=True
     )
+    word_db, val_db, cons = _empty_bow_db(cfg)
+    if vocab is not None:
+        word_db, val_db, _, _ = _bow_add(
+            word_db, val_db, state.last_kf, frame.feats.desc,
+            frame.feats.valid, vocab, voc_k, voc_depth,
+        )
     carry = ScanCarry(
         state=state,
         last_frame=frame,
@@ -58,22 +121,105 @@ def init_scan(state: SlamState, gray0, depth0, cfg: SlamConfig):
         frames_since_kf=jnp.int32(0),
         ref_kf_inliers=jnp.sum((frame.is_stereo & frame.feats.valid).astype(jnp.int32)),
         frame_idx=jnp.int32(1),
+        word_db=word_db,
+        val_db=val_db,
+        cons_count=cons,
     )
     return carry
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("carry",))
+def _detect_loop(state: SlamState, frame, word_db, val_db, cons,
+                 cfg: SlamConfig, vocab: VocabArrays,
+                 voc_k: int, voc_depth: int, voc_words: int):
+    """Device-side LoopClosing::DetectLoop (LoopClosing.cc:119-290):
+
+    1. quantize + add the new keyframe's BoW column to the database;
+    2. score it against every stored keyframe (L1 TF-IDF);
+    3. min-score gate: candidates must beat the lowest score among the
+       new KF's covisible neighbors (LoopClosing.cc:143-160);
+    4. exclude the covisible/temporal neighborhood (uid gap);
+    5. consecutive-consistency: a candidate neighborhood must recur over
+       `covisibility_consistency_th` consecutive keyframes. Covis groups
+       are approximated by uid-neighborhoods (trajectory-local keyframes
+       are each other's covisible group by construction).
+
+    Returns (word_db, val_db, cons, loop_cand_slot)."""
+    F = word_db.shape[0]
+    P = state.points.pos.shape[0]
+    slot = state.last_kf
+    uid = state.kfs.uid
+    uid_cur = uid[slot]
+
+    word_db, val_db, words, vals = _bow_add(
+        word_db, val_db, slot, frame.feats.desc, frame.feats.valid,
+        vocab, voc_k, voc_depth,
+    )
+    scores = voc.l1_scores(words, vals, word_db, val_db, voc_words)  # (F,)
+
+    covrow = covisibility_row(
+        state.kfs.kp_point, state.kfs.valid.astype(jnp.float32), slot, P
+    )
+    covis_nb = (covrow >= cfg.map.covis_weight_threshold) & state.kfs.valid
+    min_score = jnp.min(jnp.where(covis_nb, scores, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 1.0)
+
+    db_ok = state.kfs.valid & (uid >= 0) & (jnp.arange(F) != slot)
+    old_enough = (uid_cur - uid) >= cfg.loop.min_kfs_before_loop
+    cand = (
+        db_ok & old_enough & (covrow < cfg.map.covis_weight_threshold)
+        & (scores >= jnp.maximum(min_score, 0.015))
+    )
+
+    # Consistency over uid-neighborhoods: candidate f continues a chain
+    # if any keyframe with |uid - uid_f| <= 2 was counted last event.
+    du = jnp.abs(uid[:, None] - uid[None, :])
+    nb = (du <= 2) & db_ok[None, :]
+    prev_best = jnp.max(jnp.where(nb, cons[None, :], 0), axis=1)  # (F,)
+    cons_new = jnp.where(cand, prev_best + 1, 0)
+
+    confident = cons_new >= cfg.loop.covisibility_consistency_th
+    best = jnp.argmax(jnp.where(confident, scores, -1.0)).astype(jnp.int32)
+    loop_cand = jnp.where(jnp.any(confident), best, jnp.int32(-1))
+    return word_db, val_db, cons_new, loop_cand
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "voc_k", "voc_depth", "voc_words", "use_flow"),
+    donate_argnames=("carry",),
+)
 def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarray,
-                        cfg: SlamConfig):
+                        cfg: SlamConfig, vocab: VocabArrays | None = None,
+                        voc_k: int = 10, voc_depth: int = 3,
+                        voc_words: int = 1000,
+                        prev_grays: jnp.ndarray | None = None,
+                        use_flow: bool = False):
     """grays (N, H, W) uint8, depths (N, H, W) uint16 mm.
 
-    Returns (carry, T_cw (N, 4, 4), stats (N, 3) [status, n_inl, n_kfs])."""
+    Returns (carry, T_cw (N, 4, 4), stats (N, 4)
+    [status, n_inl, n_kfs, loop_cand_slot (-1 = none)]). With `vocab`,
+    every keyframe event also runs BoW loop detection in-scan. With
+    `use_flow` (+ `prev_grays`, the frames shifted by one), the
+    optical-flow dynamic mask runs per frame inside the scan (the
+    reference's pre-tracking Flow stage, Tracking.cc:688-719)."""
     t = cfg.tracking
+    if use_flow:
+        from orb_slam2_ssd_semantic_tpu.dynamic.flowmask import (
+            flow_dynamic_mask_fitted,
+        )
 
     def step(carry: ScanCarry, inputs):
-        gray, depth = inputs
+        if use_flow:
+            prev_gray, gray, depth = inputs
+            mask = flow_dynamic_mask_fitted(
+                prev_gray.astype(jnp.float32), gray.astype(jnp.float32),
+                cfg.dynamic,
+            )
+        else:
+            gray, depth = inputs
+            mask = None
         state = carry.state
-        frame = tk.build_frame(gray, depth, cfg)
+        frame = tk.build_frame(gray, depth, cfg, mask)
 
         T_pred = carry.velocity @ carry.last_T_cw
         T_mm, _, n_inl_mm = tk.track_motion_model(
@@ -114,7 +260,7 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
         ) & (res.n_inliers >= t.min_inliers_track)
 
         def do_insert(op):
-            state, kp_point = op
+            state, kp_point, word_db, val_db, cons = op
             state, kp_point = tk.insert_keyframe(
                 state, frame, T_cw, kp_point, carry.frame_idx,
                 carry.frame_idx.astype(jnp.float32), cfg,
@@ -125,10 +271,19 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
                 lambda s: s,
                 state,
             )
-            return state, kp_point
+            loop_cand = jnp.int32(-1)
+            if vocab is not None:
+                word_db, val_db, cons, loop_cand = _detect_loop(
+                    state, frame, word_db, val_db, cons, cfg, vocab,
+                    voc_k, voc_depth, voc_words,
+                )
+            return state, kp_point, word_db, val_db, cons, loop_cand
 
-        state, kp_point = jax.lax.cond(
-            need_kf, do_insert, lambda op: op, (state, res.kp_point)
+        state, kp_point, word_db, val_db, cons, loop_cand = jax.lax.cond(
+            need_kf, do_insert,
+            lambda op: op + (jnp.int32(-1),),
+            (state, res.kp_point, carry.word_db, carry.val_db,
+             carry.cons_count),
         )
         # Re-anchor on the BA-refined pose when a keyframe was made.
         T_cw = jnp.where(
@@ -152,24 +307,37 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
             frames_since_kf=jnp.where(need_kf, 0, carry.frames_since_kf + 1),
             ref_kf_inliers=jnp.where(need_kf, res.n_inliers, carry.ref_kf_inliers),
             frame_idx=carry.frame_idx + 1,
+            word_db=word_db,
+            val_db=val_db,
+            cons_count=cons,
         )
-        out = (T_cw, jnp.stack([status, res.n_inliers, state.n_kfs]))
+        out = (T_cw, jnp.stack([status, res.n_inliers, state.n_kfs, loop_cand]))
         return new_carry, out
 
-    carry, (T_all, stats) = jax.lax.scan(step, carry, (grays, depths))
+    xs = (prev_grays, grays, depths) if use_flow else (grays, depths)
+    carry, (T_all, stats) = jax.lax.scan(step, carry, xs)
     return carry, T_all, stats
 
 
-def track_sequence(grays, depths, cfg: SlamConfig):
+def track_sequence(grays, depths, cfg: SlamConfig, vocab=None):
     """Host entry: numpy (N, H, W) uint8 grays + uint16 mm depths ->
-    (poses (N, 4, 4) incl. frame 0, final SlamState, stats)."""
+    (poses (N, 4, 4) incl. frame 0, final SlamState, stats). `vocab`: an
+    io/vocabulary.Vocabulary for in-scan loop detection (optional)."""
     import numpy as np
 
     g = jnp.asarray(grays)
     d = jnp.asarray(depths)
     state = empty_state(cfg)
-    carry = init_scan(state, g[0], d[0], cfg)
-    carry, T_all, stats = track_sequence_scan(carry, g[1:], d[1:], cfg)
+    va = None
+    kw = {}
+    if vocab is not None:
+        va = VocabArrays.from_vocabulary(vocab)
+        kw = dict(voc_k=vocab.k, voc_depth=vocab.depth,
+                  voc_words=vocab.n_words)
+    carry = init_scan(state, g[0], d[0], cfg, vocab=va,
+                      **{k: v for k, v in kw.items() if k != "voc_words"})
+    carry, T_all, stats = track_sequence_scan(carry, g[1:], d[1:], cfg,
+                                              vocab=va, **kw)
     T0 = np.eye(4, dtype=np.float32)[None]
     return (
         np.concatenate([T0, np.asarray(T_all)]),

@@ -35,8 +35,6 @@ from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
 from orb_slam2_ssd_semantic_tpu.tracking.pose_opt import pose_optimize
 
-LOCAL_CANDIDATES = 4096  # fixed candidate-set size for local-map matching
-
 
 class Frame(NamedTuple):
     feats: Features
@@ -61,11 +59,26 @@ def build_frame(
     # bottleneck at 30 Hz): uint8 gray, uint16 millimeter depth.
     if gray.dtype != jnp.float32:
         gray = gray.astype(jnp.float32)
+    feats = extract(gray, cfg.orb)
+    return frame_from_features(feats, depth_img, cfg, static_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frame_from_features(
+    feats: Features,
+    depth_img: jnp.ndarray,
+    cfg: SlamConfig,
+    static_mask: jnp.ndarray | None = None,
+) -> Frame:
+    """Frame construction from ALREADY-EXTRACTED (raw-pixel) features —
+    the path that lets the stereo front end reuse its left-image
+    extraction instead of extracting twice (the reference extracts once
+    per image too: the stereo Frame ctor runs L/R extraction exactly
+    once in two threads, Frame.cc:196-197)."""
     if depth_img.dtype == jnp.uint16:
         depth_img = depth_img.astype(jnp.float32) * 1e-3
     elif depth_img.dtype != jnp.float32:
         depth_img = depth_img.astype(jnp.float32)
-    feats = extract(gray, cfg.orb)
     if static_mask is not None:
         ms, _ = image_ops.nearest_sample(static_mask.astype(jnp.float32), feats.uv)
         static_frac = jnp.mean(static_mask.astype(jnp.float32))
@@ -73,8 +86,8 @@ def build_frame(
         feats = feats._replace(valid=feats.valid & ((ms > 0.5) | ~apply))
     uv_ud = cam_ops.undistort_points(feats.uv, cfg.camera)
     feats = feats._replace(uv=jnp.where(feats.valid[:, None], uv_ud, 0.0))
-    # Depth at the *raw* keypoint location (nearest-neighbor: depth maps
-    # must not be interpolated across discontinuities).
+    # Depth sampled nearest-neighbor (depth maps must not be interpolated
+    # across discontinuities).
     d, dv = image_ops.nearest_sample(depth_img, feats.uv)
     kp_depth = jnp.where(feats.valid & dv & (d > 1e-6), d, 0.0)
     ur = cam_ops.stereo_right_u(feats.uv, kp_depth, cfg.camera)
@@ -219,7 +232,7 @@ def track_local_map(
     """Refine pose against the map and associate keypoints to map points.
 
     Candidate selection projects ALL map points (fixed capacity) and
-    keeps up to LOCAL_CANDIDATES in-frustum ones — the dense-masked
+    keeps up to cfg.tracking.local_map_candidates in-frustum ones — the dense-masked
     equivalent of UpdateLocalPoints + SearchLocalPoints
     (Tracking.cc:2320-2357, 2631-2703)."""
     cam = cfg.camera
@@ -242,9 +255,10 @@ def track_local_map(
         & (dist < 1.3 * pts.max_dist)
     )
 
-    # Fixed-size candidate gather.
+    # Fixed-size candidate gather (configurable; clamped to capacity).
+    C = min(cfg.tracking.local_map_candidates, pts.pos.shape[0])
     score = in_frustum.astype(jnp.float32)
-    _, cand = jax.lax.top_k(score, LOCAL_CANDIDATES)
+    _, cand = jax.lax.top_k(score, C)
     c_valid = in_frustum[cand]
     c_desc = pts.desc[cand]
     c_pos = pts.pos[cand]
@@ -398,6 +412,51 @@ def insert_keyframe(
     slot = jnp.where(free < F, free, jnp.argmax(evict_score)).astype(jnp.int32)
     was_valid = kfs.valid[slot]
 
+    # Eviction retires a LIVE keyframe: record its spanning-tree link
+    # (parent = strongest surviving covisible neighbor) in the retirement
+    # ring and re-point orphaned landmarks at a surviving observer — the
+    # same bookkeeping cull_keyframes does; without it, trajectory
+    # entries referencing the evicted uid hit the broken-chain fallback
+    # and loop corrections would rigidly carry its points with the slot's
+    # NEW occupant's correction.
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+        covisibility_row,
+        push_retired,
+    )
+
+    covrow = covisibility_row(
+        kfs.kp_point, kfs.valid.astype(jnp.float32), slot, P
+    ).astype(jnp.float32)
+    eligible = kfs.valid & (jnp.arange(F) != slot)
+    par_sc = jnp.where(eligible, covrow, -1.0)
+    parent = jnp.argmax(par_sc).astype(jnp.int32)
+    parent = jnp.where(par_sc[parent] > 0, parent, state.last_kf)
+    T_rel = kfs.T_cw[slot] @ se3.se3_inverse(kfs.T_cw[parent])
+    state = state._replace(
+        retired=push_retired(
+            state.retired,
+            was_valid[None],
+            kfs.uid[slot][None],
+            kfs.uid[parent][None],
+            T_rel[None],
+        )
+    )
+    # Surviving observer per point (excluding the evicted slot) for
+    # ref_kf remapping of landmarks anchored on the evicted keyframe.
+    tracked_all = (kfs.kp_point >= 0) & kfs.kp_valid
+    surv_obs = jnp.where(
+        (eligible[:, None] & tracked_all), kfs.kp_point, P
+    ).reshape(-1)
+    surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
+        jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
+        mode="drop",
+    )[:P]
+    orphan = was_valid & state.points.valid & (state.points.ref_kf == slot)
+    new_ref = jnp.where(
+        orphan, jnp.where(surv_ref >= 0, surv_ref, parent), state.points.ref_kf
+    )
+    state = state._replace(points=state.points._replace(ref_kf=new_ref))
+
     # Release the evicted keyframe's observations (observation-count
     # decrement, as KeyFrame::SetBadFlag does via EraseObservation).
     row = kfs.kp_point[slot]
@@ -443,7 +502,11 @@ def insert_keyframe(
     return state, kp_point
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_mask"), donate_argnames=("state",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "use_mask", "use_feats"),
+    donate_argnames=("state",),
+)
 def fused_track_step(
     state: SlamState,
     gray: jnp.ndarray,
@@ -457,6 +520,8 @@ def fused_track_step(
     cfg: SlamConfig,
     static_mask: jnp.ndarray | None = None,
     use_mask: bool = False,
+    feats: Features | None = None,
+    use_feats: bool = False,
 ):
     """The whole per-frame hot path as ONE compiled program: frame build,
     motion-model tracking, local-map tracking, pose selection, keyframe
@@ -470,7 +535,13 @@ def fused_track_step(
     n_inl_mm] as float32.
     """
     t = cfg.tracking
-    frame = build_frame(gray, depth_img, cfg, static_mask if use_mask else None)
+    mask = static_mask if use_mask else None
+    if use_feats:
+        # Pre-extracted features (e.g. the stereo front end already ran
+        # extraction on the left image) — no second extraction.
+        frame = frame_from_features(feats, depth_img, cfg, mask)
+    else:
+        frame = build_frame(gray, depth_img, cfg, mask)
 
     T_pred = velocity @ last_T_cw
     T_mm, n_match_mm, n_inl_mm = track_motion_model(
@@ -587,8 +658,14 @@ class Tracker:
         self._retired: dict = {}
         self._lost_streak = 0
 
-    def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float) -> np.ndarray:
+    def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float,
+                feats: Features | None = None) -> np.ndarray:
         """Track one RGB-D frame; returns T_cw (4,4) numpy.
+
+        `feats`: optional pre-extracted raw-pixel Features (the stereo
+        front end extracts the left image for disparity matching and
+        passes the result here — one extraction per image,
+        Frame.cc:196-197 parity).
 
         Dynamic filtering (the reference's pre-tracking stage,
         Tracking.cc:688-719) runs here when enabled: flow mask vs the
@@ -624,7 +701,10 @@ class Tracker:
         self.prev_gray = gray
 
         if not self.initialized:
-            frame = build_frame(gray, depth, cfg, static_mask)
+            if feats is not None:
+                frame = frame_from_features(feats, depth, cfg, static_mask)
+            else:
+                frame = build_frame(gray, depth, cfg, static_mask)
             T_cw = jnp.eye(4, dtype=jnp.float32)
             kp_point = jnp.full((frame.feats.capacity,), -1, jnp.int32)
             self.state, kp_point = insert_keyframe(
@@ -656,6 +736,8 @@ class Tracker:
                 cfg,
                 static_mask=static_mask,
                 use_mask=static_mask is not None,
+                feats=feats,
+                use_feats=feats is not None,
             )
             p = np.asarray(packed)  # the single per-frame device sync
         T_np = p[:16].reshape(4, 4).astype(np.float32)
@@ -723,8 +805,17 @@ class Tracker:
             self._on_keyframe_inserted(mirror_state)
         else:
             self.frames_since_kf += 1
+            # Relocalize when LOST — and, in localization-only mode, also
+            # while WEAK: the mbVO visual-odometry fallback
+            # (Tracking.cc:986-1047). With mapping frozen, WEAK means the
+            # map matches died and the pose is riding on temporal
+            # (depth-backprojected) points from the last frame — the
+            # reference keeps that odometry alive and attempts
+            # relocalization every frame, re-anchoring to the map the
+            # moment it succeeds.
+            vo_mode = self.status == "WEAK" and not self.allow_new_keyframes
             if (
-                self.status == "LOST"
+                (self.status == "LOST" or vo_mode)
                 and cfg.loop.enable_relocalization
                 and self.loop_closer is not None
                 and self._n_kfs >= 1
@@ -792,6 +883,22 @@ class Tracker:
                 u = int(uid[i])
                 if u not in self._retired:
                     self._retired[u] = (int(parent[i]), Trel[i])
+        self._merge_ring_retirements()
+
+    def _merge_ring_retirements(self):
+        """Fold the device-side retirement ring (map_state.RetiredRing)
+        into the host dict — records written by culls AND evictions,
+        durable across slot reuse."""
+        ring = self.state.retired
+        r_uid = np.asarray(ring.uid)
+        idx = np.nonzero(r_uid >= 0)[0]
+        if len(idx):
+            r_parent = np.asarray(ring.parent_uid)
+            r_Trel = np.asarray(ring.T_rel)
+            for i in idx:
+                u = int(r_uid[i])
+                if u not in self._retired:
+                    self._retired[u] = (int(r_parent[i]), r_Trel[i])
 
     def _record(self, frame, T_cw, T_np, kp_point, velocity, stamp, n_matches, n_inliers):
         self.last_kp_point = kp_point
@@ -823,6 +930,7 @@ class Tracker:
         parent = np.asarray(kfs.parent_uid)
         Trel = np.asarray(kfs.T_rel_parent)
         live = {int(u): T[i] for i, u in enumerate(uid) if valid[i] and u >= 0}
+        self._merge_ring_retirements()
         retired = dict(self._retired)
         for i, u in enumerate(uid):
             if u >= 0 and not valid[i] and int(u) not in retired:

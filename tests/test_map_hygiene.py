@@ -210,6 +210,82 @@ def test_keyframe_eviction_when_full():
     assert int(state.kfs.uid[state.last_kf]) == 5
 
 
+def test_eviction_writes_retirement_record():
+    """Ring-buffer eviction must leave the same spanning-tree breadcrumbs
+    as culling (ADVICE r2 medium): a record (uid, parent_uid, T_rel) in
+    the retirement ring with T_evicted == T_rel @ T_parent, and no live
+    pre-eviction landmark still anchored (ref_kf) on the reused slot."""
+    cfg = tiny_cfg(F=4)
+    from orb_slam2_ssd_semantic_tpu.tracking import tracker as tk
+
+    rng = np.random.default_rng(3)
+    state = empty_state(cfg)
+    poses = {}
+    for i in range(6):
+        gray = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+        depth = jnp.full((96, 128), 3.0, jnp.float32)
+        frame = tk.build_frame(gray, depth, cfg)
+        kp = jnp.full((cfg.orb.max_keypoints,), -1, jnp.int32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.1 * i, 0.0, 0.05 * i]
+        poses[i] = T
+        state, kp = tk.insert_keyframe(
+            state, frame, jnp.asarray(T), kp, i, float(i), cfg, spawn_all=True
+        )
+    # uids 1 and 2 were evicted (origin excluded, oldest first).
+    ring_uid = np.asarray(state.retired.uid)
+    ring_parent = np.asarray(state.retired.parent_uid)
+    ring_T = np.asarray(state.retired.T_rel)
+    recorded = {int(u): k for k, u in enumerate(ring_uid) if u >= 0}
+    assert 1 in recorded and 2 in recorded, recorded
+    live_uid = np.asarray(state.kfs.uid)
+    live_T = np.asarray(state.kfs.T_cw)
+    valid = np.asarray(state.kfs.valid)
+    live = {int(u): live_T[i] for i, u in enumerate(live_uid) if valid[i]}
+    for u in (1, 2):
+        k = recorded[u]
+        p = int(ring_parent[k])
+        # Parent resolvable (live, or itself recorded).
+        assert p in live or p in recorded, (u, p)
+        if p in live:
+            T_resolved = ring_T[k] @ live[p]
+            # Parent pose may have moved since retirement only via BA
+            # (none here): the chain must reproduce the evicted pose.
+            assert np.abs(T_resolved - poses[u]).max() < 1e-4
+    # No landmark's ref_kf points at a slot whose occupant changed under it:
+    # every valid point's ref slot observes it or is the point's spawner.
+    ref = np.asarray(state.points.ref_kf)
+    pvalid = np.asarray(state.points.valid)
+    kp_point = np.asarray(state.kfs.kp_point)
+    for pid in np.nonzero(pvalid)[0][:50]:
+        r = ref[pid]
+        assert 0 <= r < cfg.map.max_keyframes and valid[r], (pid, r)
+
+
+def test_n_obs_matches_actual_bindings_after_fuse():
+    """n_obs must equal the number of (keyframe, keypoint) cells bound to
+    the point after fusion — ADVICE r2: conflicting same-cell binds used
+    to credit BOTH candidate points, drifting n_obs upward."""
+    cfg = tiny_cfg()
+    state, n = _make_two_kf_state_with_duplicates(cfg)
+    from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import fuse_map_points
+
+    out = fuse_map_points(state, cfg)
+    kp = np.asarray(out.kfs.kp_point)
+    kv = np.asarray(out.kfs.kp_valid)
+    fvalid = np.asarray(out.kfs.valid)
+    pvalid = np.asarray(out.points.valid)
+    n_obs = np.asarray(out.points.n_obs)
+    counts = np.zeros_like(n_obs)
+    for f in range(kp.shape[0]):
+        if not fvalid[f]:
+            continue
+        ids = kp[f][(kp[f] >= 0) & kv[f]]
+        np.add.at(counts, ids, 1)
+    mism = np.nonzero(pvalid & (counts != n_obs))[0]
+    assert len(mism) == 0, (mism[:10], counts[mism[:10]], n_obs[mism[:10]])
+
+
 def test_long_run_beyond_keyframe_capacity():
     """A run that inserts ~2x the keyframe capacity keeps tracking OK:
     slots are reclaimed (culling/eviction) and the trajectory still

@@ -26,21 +26,38 @@ def test_full_pipeline_tracks(full_run):
     assert res.rmse < 0.02
 
 
+def _occupied_count(sys_):
+    from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
+        BlockGridMap,
+        occupied_mask,
+    )
+
+    if isinstance(sys_.grid, BlockGridMap):
+        return len(sys_.grid.occupied_centers()[0])
+    return int(np.asarray(occupied_mask(sys_.grid, sys_.cfg.dense)).sum())
+
+
 def test_occupancy_map_builds(full_run):
     _, sys_ = full_run
-    from orb_slam2_ssd_semantic_tpu.dense.occupancy import occupied_mask
-
-    n_occ = int(np.asarray(occupied_mask(sys_.grid, sys_.cfg.dense)).sum())
-    assert n_occ > 500  # the room's visible surfaces got voxels
+    assert _occupied_count(full_run[1]) > 500  # visible surfaces got voxels
 
 
 def test_octomap_save_load(tmp_path, full_run):
     _, sys_ = full_run
     p = str(tmp_path / "octo.npz")
     sys_.save_octomap(p)
-    lo_before = np.asarray(sys_.grid.log_odds).copy()
+    centers_before, _ = (
+        sys_.grid.occupied_centers()
+        if hasattr(sys_.grid, "occupied_centers")
+        else (None, None)
+    )
     sys_.load_octomap(p)
-    np.testing.assert_allclose(np.asarray(sys_.grid.log_odds), lo_before)
+    centers_after, _ = sys_.grid.occupied_centers()
+    assert len(centers_after) == len(centers_before)
+    np.testing.assert_allclose(
+        np.sort(centers_after, axis=0), np.sort(centers_before, axis=0),
+        atol=1e-5,
+    )
 
 
 def test_map_save_load_and_localization(tmp_path, full_run):
