@@ -78,7 +78,16 @@ def main():
         print(f"# phase {name}: {now - t_phase:.1f}s", file=sys.stderr)
         t_phase = now
 
-    cfg = SlamConfig()
+    import dataclasses
+
+    # Dataset-level camera config, like the reference's per-sequence yaml
+    # (TUM3.yaml ThDepth=40 for 1-3 m rooms): the loop-circuit room is
+    # 8x10 m with 3-6 m typical depths, so the close-point range extends
+    # to ~6 m (ThDepth=80).
+    base = SlamConfig()
+    cfg = dataclasses.replace(
+        base, camera=dataclasses.replace(base.camera, th_depth=80.0)
+    )
     seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop")
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
     g_dev, d_dev = render_frames(

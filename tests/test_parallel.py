@@ -98,3 +98,47 @@ def test_distributed_pose_step_fixed_point(rng):
         jax.device_put(jnp.ones((n,), jnp.float32), sh),
     )
     assert float(jnp.abs(T - jnp.eye(4)).max()) < 1e-3
+
+
+def test_sharded_occupancy_matches_single_device(rng):
+    """X-slab-sharded occupancy insertion (parallel/dist_occupancy.py)
+    must equal the single-device grid voxel-for-voxel: each shard sees
+    every (replicated) ray and rasterizes its own slab, so slab-crossing
+    rays need no halo exchange (VERDICT r2 #5)."""
+    from orb_slam2_ssd_semantic_tpu.config import DenseMapConfig
+    from orb_slam2_ssd_semantic_tpu.dense.occupancy import empty_grid, insert_scan
+    from orb_slam2_ssd_semantic_tpu.parallel.dist_occupancy import (
+        make_sharded_grid,
+        make_sharded_insert,
+    )
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = make_mesh(n_kf=1, n_pt=n_dev)
+    cfg = DenseMapConfig(resolution=0.1, max_ray_steps=64)
+    dims = (64, 32, 32)  # 6.4 x 3.2 x 3.2 m at 0.1 m
+    origin = (0.0, 0.0, 0.0)
+
+    lo, meta = make_sharded_grid(mesh, dims, cfg.resolution, origin)
+    insert = make_sharded_insert(mesh, cfg, dims, origin)
+
+    ref = empty_grid(extent=(6.4, 3.2, 3.2), resolution=0.1, origin=origin)
+
+    N = 256
+    for scan in range(3):
+        o = np.asarray([0.4 + 2.2 * scan, 1.6, 1.6], np.float32)
+        pts = np.stack([
+            rng.uniform(0.2, 6.2, N), rng.uniform(0.2, 3.0, N),
+            rng.uniform(0.2, 3.0, N),
+        ], -1).astype(np.float32)
+        valid = rng.uniform(size=N) > 0.1
+        carve = rng.uniform(size=N) > 0.8
+        lo = insert(lo, jnp.asarray(o), jnp.asarray(pts),
+                    jnp.asarray(valid), jnp.asarray(carve))
+        ref = insert_scan(ref, jnp.asarray(o), jnp.asarray(pts),
+                          jnp.asarray(valid), carve_only=jnp.asarray(carve),
+                          cfg=cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(lo), np.asarray(ref.log_odds), atol=1e-5
+    )
+    assert float(np.abs(np.asarray(lo)).sum()) > 0  # something was mapped

@@ -96,3 +96,55 @@ def test_detector_fusion_objectdb_end_to_end():
         for i in range(len(dbv)) if dbv[i] and dbcls[i] == target_cls
     ]
     assert errs and min(errs) < 0.3, errs
+
+
+CKPT21 = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "ssdlite_synthetic_c21.npz"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT21),
+                    reason="21-class checkpoint not present")
+def test_default_detector_autoloads_trained_weights():
+    """`Detector()` with the DEFAULT config must boot on the trained
+    21-class checkpoint (the reference always loads its ncnn model,
+    Detector.cc:22-23; VERDICT r2 #2) and actually detect."""
+    from orb_slam2_ssd_semantic_tpu.config import SemanticConfig
+    from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
+    from orb_slam2_ssd_semantic_tpu.semantic.ssdlite import load_params
+    import jax
+
+    det = Detector(SemanticConfig(det_score_threshold=0.4))
+    # Weights differ from random init (the checkpoint was loaded).
+    _, rand = __import__(
+        "orb_slam2_ssd_semantic_tpu.semantic.ssdlite", fromlist=["init_ssdlite"]
+    ).init_ssdlite(jax.random.PRNGKey(0), 21)
+    leaves_l = jax.tree_util.tree_leaves(det.params)
+    leaves_r = jax.tree_util.tree_leaves(rand)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_l, leaves_r)
+    )
+
+    target_cls = 2
+    rgb, gt_px = _render_scene(c=target_cls)
+    out = det(rgb)
+    boxes = np.asarray(out.boxes)
+    classes = np.asarray(out.classes)
+    valid = np.asarray(out.valid)
+
+    def iou(a, b):
+        lt = np.maximum(a[:2], b[:2])
+        rb = np.minimum(a[2:], b[2:])
+        inter = np.prod(np.maximum(rb - lt, 0))
+        ua = np.prod(a[2:] - a[:2]) + np.prod(b[2:] - b[:2]) - inter
+        return inter / max(ua, 1e-9)
+
+    hits = [
+        i for i in range(len(valid))
+        if valid[i] and classes[i] == target_cls and iou(boxes[i], gt_px) > 0.3
+    ]
+    assert hits, (
+        f"default detector found nothing for class {target_cls}: "
+        f"{[(int(classes[i]), boxes[i].round(0)) for i in range(len(valid)) if valid[i]][:5]}"
+    )
