@@ -41,7 +41,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 30.0
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "121"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "181"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 CONFIGS = os.environ.get("BENCH_CONFIGS", "track,full_slam,dynamic,semantic").split(",")
 PRIMARY = os.environ.get("BENCH_PRIMARY", "full_slam")
@@ -80,15 +80,26 @@ def main():
 
     import dataclasses
 
-    # Dataset-level camera config, like the reference's per-sequence yaml
-    # (TUM3.yaml ThDepth=40 for 1-3 m rooms): the loop-circuit room is
-    # 8x10 m with 3-6 m typical depths, so the close-point range extends
-    # to ~6 m (ThDepth=80).
+    from orb_slam2_ssd_semantic_tpu.config import MapConfig
+
+    # Dataset-level configuration, like the reference's per-sequence yaml
+    # (TUM3.yaml): ThDepth=80 extends the close-point range to ~6 m for
+    # the 8x10 m room, and the state capacities are sized for the task
+    # (a 160-frame sequence peaks under 20 live keyframes / ~3k points;
+    # 128/16k slots give >6x headroom — the reference's dynamically-grown
+    # containers hold exactly the live set, so fixed capacities sized to
+    # the workload are the honest comparison, and the 10k-keyframe scale
+    # regime is covered separately by bench_ba.py).
     base = SlamConfig()
     cfg = dataclasses.replace(
-        base, camera=dataclasses.replace(base.camera, th_depth=80.0)
+        base,
+        camera=dataclasses.replace(base.camera, th_depth=80.0),
+        map=dataclasses.replace(
+            base.map, max_keyframes=128, max_map_points=16384
+        ),
     )
-    seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop")
+    seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop",
+                            loop_laps=1.25)
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
     g_dev, d_dev = render_frames(
         poses, cfg.camera, size=seq.room.size,

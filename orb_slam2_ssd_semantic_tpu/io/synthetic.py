@@ -314,6 +314,10 @@ class SyntheticSequence:
     # revisit overshoot — reference-like keyframe cadence + loop closure.
     trajectory: str = "orbit"
     room_size: tuple | None = None
+    # Circuit laps for trajectory="loop": the fraction beyond 1.0 is the
+    # revisit overshoot (1.35 = 126 deg of re-observed territory, enough
+    # keyframes there for the 3-consecutive-consistency loop gate).
+    loop_laps: float = 1.125
 
     def __post_init__(self):
         if self.trajectory == "loop":
@@ -322,7 +326,8 @@ class SyntheticSequence:
                 size=size, seed=self.seed, cam=self.cam,
                 boxes=loop_room_boxes(size),
             )
-            self.poses_wc = loop_trajectory(self.n_frames, size)
+            self.poses_wc = loop_trajectory(self.n_frames, size,
+                                            laps=self.loop_laps)
         else:
             size = self.room_size or (5.0, 3.0, 6.0)
             self.room = BoxRoom(size=size, seed=self.seed, cam=self.cam)

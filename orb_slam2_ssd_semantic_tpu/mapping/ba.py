@@ -146,19 +146,43 @@ def local_bundle_adjust(
         jnp.clip(prob.point_slot, 0, N - 1)
     ]
     free_pose = (~prob.fixed).astype(jnp.float32)  # (W,)
+    # The Schur product is cancellation-dominated; TPU's default f32
+    # matmul multiplies in bf16, whose absolute error exceeds the weak
+    # eigenvalues of small windows (r3 finding) — force true f32.
+    # cfg.ba_reduction_dtype="bfloat16" opts into fast multiplies for
+    # well-conditioned batch workloads.
+    red_prec = (
+        jax.lax.Precision.DEFAULT
+        if jnp.dtype(cfg.ba_reduction_dtype) == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
 
-    # Observation->point incidence as a one-hot matrix, built ONCE per
-    # call (the slot layout is constant across GN iterations). All
-    # per-point accumulations become MXU matmuls against it — scatter-add
-    # serializes on TPU (~25 ms/iteration at this size), the one-hot
-    # GEMMs are bandwidth-bound reads (~1 ms).
+    # Observation->point reductions via SORTED segment sums, with the
+    # permutations computed ONCE per call (the slot layout is constant
+    # across GN iterations). Round 2 used a dense (W, K, N) one-hot
+    # incidence GEMM; its ~400 MB f32 read per GN iteration was the
+    # dominant cost of the whole keyframe event, and un-sorted
+    # scatter-adds serialize on TPU (~25 ms at this size). Sorted
+    # segment sums over the (W*K,) flat observation list are exact f32,
+    # touch only megabytes, and lower to efficient TPU reductions
+    # (the same trick mapping/global_ba.py uses at 1.28M observations).
     slot = jnp.clip(prob.point_slot, 0, N - 1)
-    # bf16 incidence: it only holds 0/1 (exact in bf16) and it is the
-    # dominant HBM read of every GN iteration — half the bytes.
-    red_dtype = jnp.dtype(cfg.ba_reduction_dtype)
-    onehot = (
-        (slot[..., None] == jnp.arange(N, dtype=slot.dtype)) & obs_valid[..., None]
-    ).astype(red_dtype)  # (W, K, N)
+    slot_eff = jnp.where(obs_valid, slot, N)  # N = invalid bucket
+    WK = W * K
+    # Global ordering by point slot (for Hpp/b_p sums over ALL rows).
+    perm_g = jnp.argsort(slot_eff.reshape(-1))
+    slot_g = slot_eff.reshape(-1)[perm_g]
+    # Per-row ordering by slot: row-major flatten of per-row argsort is
+    # sorted by the combined key w*(N+1)+slot (each (w, slot) pair is
+    # unique post-dedup, so this "sum" is a perfect scatter).
+    order_r = jnp.argsort(slot_eff, axis=1)  # (W, K)
+    perm_r = (
+        jnp.arange(W, dtype=jnp.int32)[:, None] * K + order_r
+    ).reshape(-1)
+    key_r = (
+        jnp.arange(W, dtype=jnp.int32)[:, None] * (N + 1)
+        + jnp.take_along_axis(slot_eff, order_r, axis=1)
+    ).reshape(-1)
 
     def gn_step(T_cw, points, inlier_w, use_huber):
         # Component-vector algebra: every per-observation quantity is a
@@ -205,30 +229,19 @@ def local_bundle_adjust(
             axis=0,
         )  # (18, W, K)
 
-        # Point + coupling reductions with ONE pass over the (W, K, N)
-        # incidence: per-w batched (30, K) x (K, N) GEMMs. The incidence
-        # is the dominant HBM read of the whole BA; fusing the two
-        # reductions halves that traffic per GN iteration, and bf16
-        # operands halve it again (the incidence is exactly 0/1; the
-        # block entries lose <0.4% relative — far inside the robust-GN
-        # noise floor — while accumulation stays f32 on the MXU).
-        stack30 = jnp.concatenate([pp12, Hcp_c], axis=0)  # (30, W, K)
-        # With f32 operands the multiply must ALSO be f32: TPU's default
-        # f32 matmul uses bf16 multiplies, which reintroduces exactly the
-        # cancellation noise the f32 path exists to avoid.
-        red_prec = (
-            jax.lax.Precision.HIGHEST
-            if red_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        per_w = jnp.einsum(
-            "cwk,wkn->wcn", stack30.astype(red_dtype), onehot,
-            preferred_element_type=jnp.float32, precision=red_prec,
-        )  # (W, 30, N)
-        red = jnp.sum(per_w[:, :12, :], axis=0)  # (12, N)
+        # Point sums over ALL rows: globally slot-sorted segment sum.
+        pp_flat = pp12.reshape(12, WK)[:, perm_g]  # (12, WK)
+        red = jax.ops.segment_sum(
+            pp_flat.T, slot_g, N + 1, indices_are_sorted=True
+        ).T[:, :N]  # (12, N)
         Hpp_cols = red[:9].reshape(3, 3, N)
         b_p = red[9:]  # (3, N)
-        Hcp = per_w[:, 12:, :].transpose(1, 0, 2)  # (18, W, N)
+        # Coupling blocks per (pose, point): per-row-sorted segment sum
+        # over the combined key (a perfect scatter; see perm_r above).
+        hc_flat = Hcp_c.reshape(18, WK)[:, perm_r]
+        Hcp = jax.ops.segment_sum(
+            hc_flat.T, key_r, W * (N + 1), indices_are_sorted=True
+        ).T.reshape(18, W, N + 1)[..., :N]  # (18, W, N)
 
         # Damped point-block inverse in (3, 3, N) layout.
         lam = jnp.float32(cfg.lm_lambda_init)
@@ -305,16 +318,38 @@ def local_bundle_adjust(
     points = prob.points
     inlier = obs_valid.astype(jnp.float32)
 
+    def robust_cost(T, pts, inlier, use_huber):
+        """Total robust objective (Huberized chi2) for the accept gate."""
+        e, behind = _residuals(T, pts, prob, cam)
+        chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
+        rho = jnp.where(
+            use_huber & (chi > delta * delta),
+            delta * (2.0 * jnp.sqrt(jnp.maximum(chi, 1e-12)) - delta),
+            chi,
+        )
+        return jnp.sum(rho * inlier * (~behind))
+
     def phase(T_cw, points, inlier, use_huber, n_iters):
         # lax.scan, not a Python loop: the component-style gn_step
         # traces to a large graph and unrolling 15 copies multiplies
         # XLA compile time.
         def body(carry, _):
-            T, pts = carry
-            return gn_step(T, pts, inlier, use_huber), None
+            T, pts, cost = carry
+            T_new, pts_new = gn_step(T, pts, inlier, use_huber)
+            # Monotonicity guard (g2o's LM accept/reject): a GN step on a
+            # degenerate window (e.g. a near-planar view with weak depth
+            # weighting) can increase the objective unboundedly; reject
+            # it and keep the previous state. One extra residual pass per
+            # iteration buys divergence-proof BA.
+            cost_new = robust_cost(T_new, pts_new, inlier, use_huber)
+            ok = cost_new < cost
+            T = jnp.where(ok, T_new, T)
+            pts = jnp.where(ok, pts_new, pts)
+            return (T, pts, jnp.where(ok, cost_new, cost)), None
 
-        (T_cw, points), _ = jax.lax.scan(
-            body, (T_cw, points), None, length=n_iters
+        cost0 = robust_cost(T_cw, points, inlier, use_huber)
+        (T_cw, points, _), _ = jax.lax.scan(
+            body, (T_cw, points, cost0), None, length=n_iters
         )
         return T_cw, points
 

@@ -250,12 +250,15 @@ def _fuse_directions_batched(state: SlamState, src, dst, ok_d, cfg: SlamConfig
             0, cfg.orb.n_levels - 1,
         )
         radius = cfg.map.fuse_search_radius * sf[pred_level]
-        d = match_ops.hamming_matrix(pts.desc[idc], kfs.desc[dst_f])
-        mask = match_ops.window_mask(
-            uv, kfs.uv[dst_f], radius, q_valid, kfs.kp_valid[dst_f]
+        # match_by_window routes through the fused Pallas kernel on TPU
+        # (ops/pallas_match.py) — the (K, K) distance/mask intermediates
+        # of the XLA path were the dominant HBM traffic of the fuse
+        # stage (~2/5 of the whole keyframe event).
+        m = match_ops.match_by_window(
+            pts.desc[idc], kfs.desc[dst_f], uv, kfs.uv[dst_f],
+            q_valid, kfs.kp_valid[dst_f], radius,
+            max_dist=match_ops.TH_LOW,
         )
-        m = match_ops.masked_best_match(d, mask, max_dist=match_ops.TH_LOW)
-        m = match_ops.resolve_duplicate_targets(m, K)
         j = jnp.clip(m.idx, 0, K - 1)
         existing = kfs.kp_point[dst_f][j]
         bind = m.valid & (existing < 0)
@@ -295,33 +298,44 @@ def _fuse_directions_batched(state: SlamState, src, dst, ok_d, cfg: SlamConfig
     return _apply_merges(state, loser.reshape(-1), winner.reshape(-1))
 
 
-def _dedup_observations(state: SlamState) -> SlamState:
+def _dedup_observations(state: SlamState, rows: jnp.ndarray | None = None
+                        ) -> SlamState:
     """Drop duplicate (keyframe, point) observations created when a
     merge rebinds a landmark a keyframe already observes — the
     reference's Replace keeps the existing observation and erases the
     duplicate (MapPoint.cc:240-252). First-occurrence test via a
-    scatter-min over a flat (F*(P+1)) bucket space: two O(F*K) passes
-    instead of a (slow on TPU) half-million-element sort."""
+    scatter-min over a flat (R*(P+1)) bucket space, restricted to the
+    `rows` the fuse pass could have touched (deduping all F keyframe
+    rows scanned a 16M-bucket space per keyframe event)."""
     kfs = state.kfs
     pts = state.points
     F, K = kfs.kp_point.shape
     P = pts.pos.shape[0]
-    kp = kfs.kp_point
-    valid = kp >= 0
+    if rows is None:
+        rows = jnp.arange(F, dtype=jnp.int32)
+    R = rows.shape[0]
+    row_ok = rows < F  # sentinel F = padding row (dropped on write-back)
+    kp = kfs.kp_point[jnp.clip(rows, 0, F - 1)]  # (R, K)
+    valid = (kp >= 0) & row_ok[:, None]
     key = jnp.where(
-        valid, kp + jnp.arange(F, dtype=jnp.int32)[:, None] * (P + 1),
-        F * (P + 1),
+        valid, kp + jnp.arange(R, dtype=jnp.int32)[:, None] * (P + 1),
+        R * (P + 1),
     ).reshape(-1)
-    col = jnp.tile(jnp.arange(K, dtype=jnp.int32), F)
-    first = jnp.full((F * (P + 1) + 1,), K, jnp.int32).at[key].min(
+    col = jnp.tile(jnp.arange(K, dtype=jnp.int32), R)
+    first = jnp.full((R * (P + 1) + 1,), K, jnp.int32).at[key].min(
         col, mode="drop"
     )
-    dup = (valid.reshape(-1) & (first[key] != col)).reshape(F, K)
+    dup = (valid.reshape(-1) & (first[key] != col)).reshape(R, K)
+    # Duplicate rows in `rows` would double-dedup; callers pass distinct
+    # slots (top-k neighbor sets are distinct by construction).
     dec_ids = jnp.where(dup, kp, P).reshape(-1)
     n_obs = pts.n_obs.at[dec_ids].add(-1, mode="drop")
+    new_rows = jnp.where(dup, -1, kp)
     return state._replace(
         points=pts._replace(n_obs=jnp.maximum(n_obs, 0)),
-        kfs=kfs._replace(kp_point=jnp.where(dup, -1, kp)),
+        kfs=kfs._replace(
+            kp_point=kfs.kp_point.at[rows].set(new_rows, mode="drop")
+        ),
     )
 
 
@@ -351,13 +365,25 @@ def fuse_map_points(state: SlamState, cfg: SlamConfig) -> SlamState:
     vice versa, then deduplicate observations."""
     Nf = cfg.map.fuse_neighbors
     kf1 = state.last_kf
-    neighbors, ok_n = _neighbor_slots(state, kf1, Nf)
+    # Top-31 covisible slots: the first Nf are the fuse partners; the
+    # full set bounds where merge rebinds can land (any keyframe
+    # co-observing a merged landmark is a covisible neighbor of the
+    # window), so deduping these rows covers the rebind fallout without
+    # the full-F bucket scan.
+    F_cap = state.kfs.valid.shape[0]
+    wide, ok_w = _neighbor_slots(state, kf1, min(max(31, Nf), F_cap))
+    neighbors, ok_n = wide[:Nf], ok_w[:Nf]
     kf1_rep = jnp.full((Nf,), kf1, jnp.int32)
     src = jnp.concatenate([kf1_rep, neighbors])
     dst = jnp.concatenate([neighbors, kf1_rep])
     ok_d = jnp.concatenate([ok_n, ok_n])
     state = _fuse_directions_batched(state, src, dst, ok_d, cfg)
-    return _dedup_observations(state)
+    F = state.kfs.valid.shape[0]
+    rows = jnp.concatenate([
+        jnp.asarray(kf1, jnp.int32).reshape(1),
+        jnp.where(ok_w, wide, F),  # sentinel-pad invalid neighbor slots
+    ])
+    return _dedup_observations(state, rows)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -373,7 +399,7 @@ def fuse_pair(state: SlamState, kf_a, kf_b, cfg: SlamConfig) -> SlamState:
     state = _fuse_directions_batched(
         state, jnp.concatenate([a, b]), jnp.concatenate([b, a]), ok, cfg
     )
-    return _dedup_observations(state)
+    return _dedup_observations(state, jnp.concatenate([a, b]))
 
 
 # ---------------------------------------------------------------------------
@@ -648,66 +674,91 @@ def cull_keyframes(state: SlamState, cfg: SlamConfig) -> SlamState:
     ratio = jnp.sum(redundant_obs.astype(jnp.float32), axis=1) / jnp.maximum(
         n_tracked, 1.0
     )
-    cand = (
+    # Candidate set: the newest keyframe's best covisible neighbors only
+    # (the reference iterates exactly those, LocalMapping.cc:766) — a
+    # bounded top-C gather instead of full-F vote scatters, which were
+    # ~1/4 of the keyframe-event cost at F=512.
+    C = min(32, F)
+    cand_base = (
         kfs.valid
         & (covrow > 0)
         & (uid > 0)
         & (uid < last_uid - 1)
     )
-    cull = cand & (ratio > cfg.map.kf_redundancy_ratio) & (n_tracked > 10)
-
-    # Re-point orphaned map points (whose ref_kf slot is culled) at a
-    # surviving observer so loop corrections keep carrying them.
-    surv_obs = jnp.where(
-        (kfs.valid & ~cull)[:, None] & tracked, kfs.kp_point, P
-    ).reshape(-1)
-    surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
-        jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
-        mode="drop",
-    )[:P]
-
-    # Spanning-tree parent of each culled keyframe: the surviving
-    # observer that covers most of its tracked points — the mode of its
-    # points' surviving-observer votes. One (F, K) scatter instead of the
-    # full (F, P) covisibility product (the former per-keyframe-event
-    # hotspot; same strongest-survivor semantics, KeyFrame.cc:558-620).
-    pt_surv = surv_ref[jnp.clip(kfs.kp_point, 0, P - 1)]  # (F, K)
-    vote_ok = cull[:, None] & tracked & (pt_surv >= 0)
-    votes = jnp.zeros((F, F + 1), jnp.float32).at[
-        jnp.arange(F, dtype=jnp.int32)[:, None],
-        jnp.where(vote_ok, pt_surv, F),
-    ].add(1.0, mode="drop")[:, :F]
-    parent = jnp.argmax(votes, axis=1).astype(jnp.int32)
-    has_parent = jnp.max(votes, axis=1) > 0
-    parent = jnp.where(has_parent, parent, last)
-    T_par_inv = jax.vmap(se3.se3_inverse)(kfs.T_cw[parent])  # (F, 4, 4)
-    T_rel = jnp.einsum("fij,fjk->fik", kfs.T_cw, T_par_inv)
-    ref_culled = (pts0.ref_kf >= 0) & cull[jnp.clip(pts0.ref_kf, 0, F - 1)]
-    new_ref = jnp.where(
-        ref_culled, jnp.where(surv_ref >= 0, surv_ref, last), pts0.ref_kf
+    cov_sc, cand_rows = jax.lax.top_k(
+        jnp.where(cand_base, covrow.astype(jnp.float32), -1.0), C
     )
-
-    # Decrement observation counts of the culled keyframes' points and
-    # clear their associations.
-    culled_ids = jnp.where(cull[:, None] & tracked, kfs.kp_point, P)
-    n_obs = pts0.n_obs.at[culled_ids.reshape(-1)].add(-1, mode="drop")
-    pts = pts0._replace(n_obs=jnp.maximum(n_obs, 0), ref_kf=new_ref)
-    kfs = kfs._replace(
-        valid=kfs.valid & ~cull,
-        kp_point=jnp.where(cull[:, None], -1, kfs.kp_point),
-        parent_uid=jnp.where(cull, uid[parent], kfs.parent_uid),
-        T_rel_parent=jnp.where(cull[:, None, None], T_rel, kfs.T_rel_parent),
+    rows_ok = cov_sc > 0
+    cull_rows = (
+        rows_ok
+        & (ratio[cand_rows] > cfg.map.kf_redundancy_ratio)
+        & (n_tracked[cand_rows] > 10)
     )
-    # Durable copy of the retirement records: the slot-resident fields
-    # above are destroyed on slot reuse, which during a device-side scan
-    # happens before the host can snapshot them.
-    from orb_slam2_ssd_semantic_tpu.mapping.map_state import push_retired
+    cull = jnp.zeros((F,), bool).at[cand_rows].set(cull_rows, mode="drop")
 
-    retired = push_retired(state.retired, cull, uid, uid[parent], T_rel)
-    return state._replace(
-        points=pts, kfs=kfs, retired=retired,
-        n_kfs=state.n_kfs - jnp.sum(cull.astype(jnp.int32)),
-    )
+    def do_cull(state):
+        kfs = state.kfs
+        pts0 = state.points
+        # Re-point orphaned map points (whose ref_kf slot is culled) at a
+        # surviving observer so loop corrections keep carrying them.
+        surv_obs = jnp.where(
+            (kfs.valid & ~cull)[:, None] & tracked, kfs.kp_point, P
+        ).reshape(-1)
+        surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
+            jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
+            mode="drop",
+        )[:P]
+
+        # Spanning-tree parent of each culled keyframe: the surviving
+        # observer that covers most of its tracked points — the mode of
+        # its points' surviving-observer votes, computed only for the C
+        # candidate rows (same strongest-survivor semantics,
+        # KeyFrame.cc:558-620).
+        kp_rows = kfs.kp_point[cand_rows]  # (C, K)
+        pt_surv = surv_ref[jnp.clip(kp_rows, 0, P - 1)]  # (C, K)
+        vote_ok = cull_rows[:, None] & tracked[cand_rows] & (pt_surv >= 0)
+        votes = jnp.zeros((C, F + 1), jnp.float32).at[
+            jnp.arange(C, dtype=jnp.int32)[:, None],
+            jnp.where(vote_ok, pt_surv, F),
+        ].add(1.0, mode="drop")[:, :F]
+        parent_rows = jnp.argmax(votes, axis=1).astype(jnp.int32)
+        parent_rows = jnp.where(jnp.max(votes, axis=1) > 0, parent_rows, last)
+        parent = jnp.full((F,), last, jnp.int32).at[cand_rows].set(
+            parent_rows, mode="drop"
+        )
+        T_par_inv = jax.vmap(se3.se3_inverse)(kfs.T_cw[parent])  # (F, 4, 4)
+        T_rel = jnp.einsum("fij,fjk->fik", kfs.T_cw, T_par_inv)
+        ref_culled = (pts0.ref_kf >= 0) & cull[jnp.clip(pts0.ref_kf, 0, F - 1)]
+        new_ref = jnp.where(
+            ref_culled, jnp.where(surv_ref >= 0, surv_ref, last), pts0.ref_kf
+        )
+
+        # Decrement observation counts of the culled keyframes' points
+        # and clear their associations.
+        culled_ids = jnp.where(cull[:, None] & tracked, kfs.kp_point, P)
+        n_obs = pts0.n_obs.at[culled_ids.reshape(-1)].add(-1, mode="drop")
+        pts = pts0._replace(n_obs=jnp.maximum(n_obs, 0), ref_kf=new_ref)
+        kfs = kfs._replace(
+            valid=kfs.valid & ~cull,
+            kp_point=jnp.where(cull[:, None], -1, kfs.kp_point),
+            parent_uid=jnp.where(cull, uid[parent], kfs.parent_uid),
+            T_rel_parent=jnp.where(cull[:, None, None], T_rel, kfs.T_rel_parent),
+        )
+        # Durable copy of the retirement records: the slot-resident
+        # fields above are destroyed on slot reuse, which during a
+        # device-side scan happens before the host can snapshot them.
+        from orb_slam2_ssd_semantic_tpu.mapping.map_state import push_retired
+
+        retired = push_retired(state.retired, cull, uid, uid[parent], T_rel)
+        return state._replace(
+            points=pts, kfs=kfs, retired=retired,
+            n_kfs=state.n_kfs - jnp.sum(cull.astype(jnp.int32)),
+        )
+
+    # The retirement bookkeeping (surviving-observer scatter, votes,
+    # spanning-tree records) only pays when a keyframe is actually
+    # culled — most keyframe events cull nothing.
+    return jax.lax.cond(jnp.any(cull), do_cull, lambda s: s, state)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

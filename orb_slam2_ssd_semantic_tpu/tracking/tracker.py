@@ -438,38 +438,46 @@ def insert_keyframe(
         push_retired,
     )
 
-    covrow = covisibility_row(
-        kfs.kp_point, kfs.valid.astype(jnp.float32), slot, P
-    ).astype(jnp.float32)
-    eligible = kfs.valid & (jnp.arange(F) != slot)
-    par_sc = jnp.where(eligible, covrow, -1.0)
-    parent = jnp.argmax(par_sc).astype(jnp.int32)
-    parent = jnp.where(par_sc[parent] > 0, parent, state.last_kf)
-    T_rel = kfs.T_cw[slot] @ se3.se3_inverse(kfs.T_cw[parent])
-    state = state._replace(
-        retired=push_retired(
+    def retire_evicted(state):
+        covrow = covisibility_row(
+            kfs.kp_point, kfs.valid.astype(jnp.float32), slot, P
+        ).astype(jnp.float32)
+        eligible = kfs.valid & (jnp.arange(F) != slot)
+        par_sc = jnp.where(eligible, covrow, -1.0)
+        parent = jnp.argmax(par_sc).astype(jnp.int32)
+        parent = jnp.where(par_sc[parent] > 0, parent, state.last_kf)
+        T_rel = kfs.T_cw[slot] @ se3.se3_inverse(kfs.T_cw[parent])
+        retired = push_retired(
             state.retired,
-            was_valid[None],
+            jnp.ones((1,), bool),
             kfs.uid[slot][None],
             kfs.uid[parent][None],
             T_rel[None],
         )
-    )
-    # Surviving observer per point (excluding the evicted slot) for
-    # ref_kf remapping of landmarks anchored on the evicted keyframe.
-    tracked_all = (kfs.kp_point >= 0) & kfs.kp_valid
-    surv_obs = jnp.where(
-        (eligible[:, None] & tracked_all), kfs.kp_point, P
-    ).reshape(-1)
-    surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
-        jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
-        mode="drop",
-    )[:P]
-    orphan = was_valid & state.points.valid & (state.points.ref_kf == slot)
-    new_ref = jnp.where(
-        orphan, jnp.where(surv_ref >= 0, surv_ref, parent), state.points.ref_kf
-    )
-    state = state._replace(points=state.points._replace(ref_kf=new_ref))
+        # Surviving observer per point (excluding the evicted slot) for
+        # ref_kf remapping of landmarks anchored on the evicted keyframe.
+        tracked_all = (kfs.kp_point >= 0) & kfs.kp_valid
+        surv_obs = jnp.where(
+            (eligible[:, None] & tracked_all), kfs.kp_point, P
+        ).reshape(-1)
+        surv_ref = jnp.full((P + 1,), -1, jnp.int32).at[surv_obs].max(
+            jnp.repeat(jnp.arange(F, dtype=jnp.int32), kfs.kp_point.shape[1]),
+            mode="drop",
+        )[:P]
+        orphan = state.points.valid & (state.points.ref_kf == slot)
+        new_ref = jnp.where(
+            orphan, jnp.where(surv_ref >= 0, surv_ref, parent),
+            state.points.ref_kf,
+        )
+        return state._replace(
+            retired=retired,
+            points=state.points._replace(ref_kf=new_ref),
+        )
+
+    # The retirement bookkeeping (covisibility row + two (F, K)
+    # scatters) only runs when the store is actually full — lax.cond
+    # keeps the common-path insertion cheap.
+    state = jax.lax.cond(was_valid, retire_evicted, lambda s: s, state)
 
     # Release the evicted keyframe's observations (observation-count
     # decrement, as KeyFrame::SetBadFlag does via EraseObservation).
