@@ -97,9 +97,15 @@ def main():
         map=dataclasses.replace(
             base.map, max_keyframes=128, max_map_points=16384
         ),
+        # In-frustum candidate count peaks ~1.1k on this map; 1536 slots
+        # cover it with margin at 3/4 the matching traffic of the
+        # 2048-slot engine default.
+        tracking=dataclasses.replace(base.tracking, local_map_candidates=1536),
     )
-    seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop",
-                            loop_laps=1.25)
+    seq = SyntheticSequence(
+        n_frames=N_FRAMES, trajectory="loop",
+        loop_laps=float(os.environ.get("BENCH_LAPS", "1.3")),
+    )
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
     g_dev, d_dev = render_frames(
         poses, cfg.camera, size=seq.room.size,

@@ -189,9 +189,13 @@ class OptimizerConfig:
     chi2_stereo: float = 7.815
     huber_delta_mono: float = 2.4477  # sqrt(5.991)
     huber_delta_stereo: float = 2.7955  # sqrt(7.815)
-    # Local BA: 5 + 10 iteration schedule (Optimizer.cc:843-886).
+    # Local BA: the reference schedules 5 + 10 iterations
+    # (Optimizer.cc:843-886) but aborts the second phase whenever a new
+    # frame arrives (mbAbortBA, LocalMapping.cc:976 — at 30 fps with BA
+    # slower than a frame period, it nearly always stops early). 5 + 5
+    # matches that effective behavior at a deterministic cost.
     local_ba_iters_initial: int = 5
-    local_ba_iters_refine: int = 10
+    local_ba_iters_refine: int = 5
     # Global BA iterations on loop closure (LoopClosing.cc:831).
     global_ba_iters: int = 10
     # Essential-graph optimization iterations (Optimizer.cc:995+).

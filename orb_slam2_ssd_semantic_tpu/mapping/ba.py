@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
-from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols, pcg_solve
+from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols
 
 
 class BAProblem(NamedTuple):
@@ -117,9 +117,34 @@ def _residual_components(T_cw, points, prob: BAProblem, cam: CameraConfig):
     return e, J_pose, J_point, z <= 1e-6
 
 
+def _residuals_only(T_cw, points, prob: BAProblem, cam: CameraConfig):
+    """Residuals WITHOUT Jacobians — for cost evaluation (the
+    monotonicity guard runs this once per GN iteration; the Jacobian
+    terms are ~3x the residual cost and unused there)."""
+    slot = jnp.clip(prob.point_slot, 0, points.shape[0] - 1)
+    X = points[slot]
+    R = T_cw[:, :3, :3]
+    t = T_cw[:, :3, 3]
+    # HIGHEST: a bf16-multiplied rotation loses ~3 decimal digits of the
+    # point coordinates — noise bigger than converged residuals, which
+    # makes the monotonicity guard accept/reject at random.
+    p = jnp.einsum(
+        "wij,wkj->wki", R, X, precision=jax.lax.Precision.HIGHEST
+    ) + t[:, None, :]
+    z = p[..., 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    iz = 1.0 / z_safe
+    u = cam.fx * p[..., 0] * iz + cam.cx
+    v = cam.fy * p[..., 1] * iz + cam.cy
+    ur = u - cam.depth_bf * iz
+    e = [u - prob.obs_uvr[..., 0], v - prob.obs_uvr[..., 1],
+         ur - prob.obs_uvr[..., 2]]
+    return e, z <= 1e-6
+
+
 def _residuals(T_cw, points, prob: BAProblem, cam: CameraConfig):
     """Stacked residuals e (W,K,3) + behind mask, for chi2 evaluation."""
-    e, _, _, behind = _residual_components(T_cw, points, prob, cam)
+    e, behind = _residuals_only(T_cw, points, prob, cam)
     return jnp.stack(e, axis=-1), behind
 
 
@@ -289,9 +314,12 @@ def local_bundle_adjust(
         S_mat = S_mat + jnp.diag(
             1e-3 * S_diag + fixed_diag.astype(jnp.float32) + 1e-5
         )
-        # Jacobi-PCG instead of LU: the 6Wx6W solve is latency-bound
-        # sequential work on TPU, and GN tolerates the inexact step.
-        dx = pcg_solve(S_mat, rhs.reshape(-1), iters=32).reshape(6, W)
+        # Direct solve: at 6W <= ~150 unknowns one XLA factorization is
+        # SHALLOWER than 32 sequential preconditioned-CG matvecs (each
+        # matvec is a tiny latency-bound dispatch; 15 GN iterations x 32
+        # matvecs was ~half the keyframe-event wall time), and the exact
+        # step keeps the monotonicity guard accepting.
+        dx = jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(6, W)
         dx = dx * free_pose[None, :]
         # Trust region: a GN step beyond ~0.5 rad / 0.5 m is never a
         # descent step on a real local-BA window — clamp instead of
