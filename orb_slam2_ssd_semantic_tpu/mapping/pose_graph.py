@@ -198,8 +198,20 @@ def optimize_pose_graph_pcg(
         (dx, _, _, _), _ = jax.lax.scan(
             cg_body, (x0, b, z0, jnp.sum(b * z0)), None, length=cg_iters
         )
-        dx = dx * free_f[:, None]
-        return jax.vmap(se3.se3_exp)(dx) @ T, None
+        dx = jnp.clip(dx * free_f[:, None], -1.0, 1.0)
+        T_new = jax.vmap(se3.se3_exp)(dx) @ T
+        # Monotonicity guard (as in mapping/ba.py): the Ad-approximated
+        # Jacobians are only locally valid; on a 10k-node graph one
+        # overshooting inexact-CG step can explode the whole chain.
+        cost_new = edge_cost(T_new)
+        cost_old = edge_cost(T)
+        ok = cost_new < cost_old
+        return jnp.where(ok, T_new, T), None
+
+    def edge_cost(T):
+        M = graph.T_ji @ T[ei] @ jax.vmap(se3.se3_inverse)(T[ej])
+        r = jax.vmap(se3.se3_log)(M)
+        return jnp.sum(w[:, None] * r * r)
 
     T_out, _ = jax.lax.scan(gn_step, T_cw, None, length=iters)
     return T_out
