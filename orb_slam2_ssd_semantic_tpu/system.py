@@ -107,23 +107,33 @@ class SlamSystem:
         gr = rgb_to_gray(right) if right.ndim == 3 else right
         cam, orb = self.cfg.camera, self.cfg.orb
 
-        @jax.jit
-        def stereo_front(gl, gr):
-            fl = extract(gl.astype(jnp.float32), orb)
-            fr = extract(gr.astype(jnp.float32), orb)
-            depth, _, ok = stereo_match(fl, fr, cam, orb)
-            # Scatter depths at the (undistorted) keypoint pixels; the
-            # RGB-D frame builder nearest-samples the same pixels.
-            uv = cam_ops.undistort_points(fl.uv, cam)
-            x = jnp.round(uv[:, 0]).astype(jnp.int32)
-            y = jnp.round(uv[:, 1]).astype(jnp.int32)
-            oob = ~(ok & (x >= 0) & (x < cam.width) & (y >= 0) & (y < cam.height))
-            flat = jnp.where(oob, cam.width * cam.height, y * cam.width + x)
-            img = jnp.zeros((cam.height * cam.width,), jnp.float32)
-            img = img.at[flat].set(jnp.where(ok, depth, 0.0), mode="drop")
-            return fl, img.reshape(cam.height, cam.width)
+        if getattr(self, "_stereo_front", None) is None:
+            # Built ONCE: a jit defined per call is a new cache key per
+            # call — the front end would recompile every frame.
+            @jax.jit
+            def stereo_front(gl, gr):
+                fl = extract(gl.astype(jnp.float32), orb)
+                fr = extract(gr.astype(jnp.float32), orb)
+                depth, _, ok = stereo_match(fl, fr, cam, orb)
+                # Scatter depths at the (undistorted) keypoint pixels;
+                # the RGB-D frame builder nearest-samples the same
+                # pixels.
+                uv = cam_ops.undistort_points(fl.uv, cam)
+                x = jnp.round(uv[:, 0]).astype(jnp.int32)
+                y = jnp.round(uv[:, 1]).astype(jnp.int32)
+                oob = ~(
+                    ok & (x >= 0) & (x < cam.width)
+                    & (y >= 0) & (y < cam.height)
+                )
+                flat = jnp.where(oob, cam.width * cam.height,
+                                 y * cam.width + x)
+                img = jnp.zeros((cam.height * cam.width,), jnp.float32)
+                img = img.at[flat].set(jnp.where(ok, depth, 0.0), mode="drop")
+                return fl, img.reshape(cam.height, cam.width)
 
-        fl, d_dev = stereo_front(jnp.asarray(gl), jnp.asarray(gr))
+            self._stereo_front = stereo_front
+
+        fl, d_dev = self._stereo_front(jnp.asarray(gl), jnp.asarray(gr))
         d = np.asarray(d_dev)
         return self.track_rgbd(gl, d, stamp, feats=fl)
 
