@@ -19,9 +19,7 @@ from orb_slam2_ssd_semantic_tpu.parallel.dist_ba import (
 )
 from orb_slam2_ssd_semantic_tpu.parallel.mesh import PT_AXIS, make_mesh
 
-from tests.test_global_ba import build_problem, pose_errors
-
-CAM = CameraConfig()
+from tests.test_global_ba import CAM, build_problem, pose_errors
 
 
 def _pad_to(prob, multiple):
