@@ -94,10 +94,21 @@ def optimize_pose_graph(
 
         Hm = H.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
         diag_fix = jnp.repeat(~free, 6).astype(jnp.float32)
-        Hm = Hm + jnp.diag(diag_fix + 1e-5)
+        # Relative (Levenberg-style) damping: the absolute 1e-5 floor is
+        # nothing against edge weights of 100-500.
+        Hd = jnp.abs(jnp.diagonal(Hm))
+        Hm = Hm + jnp.diag(1e-3 * Hd + diag_fix + 1e-5)
         dx = jnp.linalg.solve(Hm, -g.reshape(-1)).reshape(F, 6)
         dx = dx * free_f[:, None]
-        return jax.vmap(se3.se3_exp)(dx) @ T, None
+        dx = jnp.clip(jnp.where(jnp.isfinite(dx), dx, 0.0), -1.0, 1.0)
+        T_new = jax.vmap(se3.se3_exp)(dx) @ T
+        # Monotonicity guard (see mapping/ba.py): reject cost increases.
+        cost_old = jnp.sum(w[:, None] * r * r)
+        M_new = graph.T_ji @ T_new[ei] @ jax.vmap(se3.se3_inverse)(T_new[ej])
+        r_new = jax.vmap(se3.se3_log)(M_new)
+        cost_new = jnp.sum(w[:, None] * r_new * r_new)
+        ok = cost_new < cost_old
+        return jnp.where(ok, T_new, T), None
 
     T_out, _ = jax.lax.scan(gn_step, T_cw, None, length=iters)
     return T_out
