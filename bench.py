@@ -170,7 +170,10 @@ def main():
         T_host = np.asarray(out[1])
         stats_host = np.asarray(out[2])
         dt = (time.perf_counter() - t0) / REPS
-        fps = (N_FRAMES - 1) / dt
+        # Each timed rep processes ALL N frames: frame 0 runs the full
+        # build+insert inside init_scan (timed), frames 1..N-1 in the
+        # scan.
+        fps = N_FRAMES / dt
 
         pos = np.concatenate([np.eye(4, dtype=np.float32)[None], T_host])
         est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in pos])
