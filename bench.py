@@ -42,7 +42,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 30.0
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "191"))
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+# 5 reps: each remote-relay dispatch/sync costs tens of ms — at ~1.3 s
+# per rep that is several percent of run-to-run noise; amortizing over 5
+# tightens the measurement.
+REPS = int(os.environ.get("BENCH_REPS", "5"))
 # "dynamic" (per-frame optical-flow masking in-scan) is opt-in: the
 # rotation-dominant circuit is the flow mask's worst case (the fitted
 # homography cancels most ego-motion but the residual field still trips
