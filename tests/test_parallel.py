@@ -140,3 +140,58 @@ def test_sharded_occupancy_matches_single_device(rng):
         np.asarray(lo), np.asarray(ref.log_odds), atol=1e-5
     )
     assert float(np.abs(np.asarray(lo)).sum()) > 0  # something was mapped
+
+
+def test_distributed_ba_communicates_only_reduced_system(rng):
+    """Structural scaling proof (VERDICT r2 #5): the compiled HLO of the
+    distributed GBA must contain collectives ONLY at reduced-system
+    sizes (pose/point aggregate blocks and CG scalars) — never at the
+    per-observation size M. If a refactor accidentally all-gathered the
+    observation arrays, scaling would die silently; this pins it at the
+    compiler-output level."""
+    import re
+
+    from orb_slam2_ssd_semantic_tpu.parallel.dist_ba import (
+        make_distributed_global_ba,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8
+    prob, T_gt, pts_gt = build_problem(rng, F=10, P=256)
+    prob = _pad_to(prob, n_dev)
+    M = int(prob.obs_kf.shape[0])
+
+    mesh = make_mesh(n_kf=1, n_pt=n_dev)
+    sh = NamedSharding(mesh, P(PT_AXIS))
+    rep = NamedSharding(mesh, P())
+    prob_sharded = prob._replace(
+        T_cw=jax.device_put(prob.T_cw, rep),
+        fixed=jax.device_put(prob.fixed, rep),
+        points=jax.device_put(prob.points, rep),
+        point_valid=jax.device_put(prob.point_valid, rep),
+        obs_kf=jax.device_put(prob.obs_kf, sh),
+        obs_pt=jax.device_put(prob.obs_pt, sh),
+        obs_uvr=jax.device_put(prob.obs_uvr, sh),
+        inv_sigma2=jax.device_put(prob.inv_sigma2, sh),
+        is_stereo=jax.device_put(prob.is_stereo, sh),
+        obs_valid=jax.device_put(prob.obs_valid, sh),
+    )
+    run = make_distributed_global_ba(mesh, CAM, OptimizerConfig(), cg_iters=5)
+    hlo = run.lower(prob_sharded).compile().as_text()
+
+    # Every all-reduce operand must be far smaller than the observation
+    # count (the reduced system: (F,6,6)=360, (P,3,3)=2304, scalars).
+    sizes = []
+    for m in re.finditer(r"all-reduce[^=]*=\s*\(?([a-z0-9_]+)\[([0-9,]*)\]", hlo):
+        dims = m.group(2)
+        n = 1
+        for d in dims.split(",") if dims else []:
+            if d:
+                n *= int(d)
+        sizes.append(n)
+    assert sizes, "no collectives found — is the reduction still sharded?"
+    per_shard_M = M // n_dev
+    assert max(sizes) < per_shard_M, (
+        f"collective of {max(sizes)} elements >= per-shard obs count "
+        f"{per_shard_M}: observation-sized communication detected"
+    )
