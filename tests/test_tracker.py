@@ -80,6 +80,59 @@ def test_trajectory_save_roundtrip(tmp_path, tracked_sequence):
     np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_mbvo_localization_fallback():
+    """mbVO visual-odometry fallback in localization-only mode
+    (Tracking.cc:986-1047; VERDICT r2 #8): when the map matches die,
+    tracking must keep odometry alive on temporal (depth-backprojected)
+    points with WEAK status — not go LOST — attempt relocalization each
+    frame, and re-anchor the moment the map returns."""
+    import jax.numpy as jnp
+
+    cfg = SlamConfig()
+    seq = SyntheticSequence(n_frames=18)
+    tr = tk.Tracker(cfg)
+    for i in range(10):
+        g, d = seq.gray_depth(i)
+        tr.process(g, d, float(seq.stamps[i]))
+    assert tr.status == "OK"
+
+    # Localization-only: mapping frozen (InformOnlyTracking).
+    tr.allow_new_keyframes = False
+    # Simulate the map dropping out (the camera leaving the mapped
+    # volume): invalidate every landmark.
+    saved_valid = tr.state.points.valid
+    tr.state = tr.state._replace(
+        points=tr.state.points._replace(
+            valid=jnp.zeros_like(saved_valid))
+    )
+    for i in range(10, 14):
+        g, d = seq.gray_depth(i)
+        tr.process(g, d, float(seq.stamps[i]))
+        # Odometry survives on temporal points — never LOST. (The
+        # status may bounce straight back to OK: the keyframe database
+        # is intact here, so the per-frame mbVO relocalization attempt
+        # re-anchors immediately — exactly Tracking.cc:1000-1047.)
+        assert tr.status != "LOST", tr.status
+    # The VO fallback attempted relocalization (WEAK + frozen mapping
+    # triggers it every frame until one succeeds).
+    st = tr.metrics.stages.get("relocalization")
+    assert st is not None and st.count >= 1
+
+    # Map returns: tracking re-anchors.
+    tr.state = tr.state._replace(
+        points=tr.state.points._replace(valid=saved_valid)
+    )
+    for i in range(14, 18):
+        g, d = seq.gray_depth(i)
+        tr.process(g, d, float(seq.stamps[i]))
+    assert tr.status == "OK"
+    # The whole run — including the dropout segment ridden on VO — stays
+    # accurate (temporal points carry the pose, like the reference).
+    res = evaluate_ate_xyz(tr.camera_positions(), seq.gt_positions())
+    assert res.rmse < 0.05, res
+
+
 def test_covisibility_matrix():
     kp_point = jnp.asarray(
         [
