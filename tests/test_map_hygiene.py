@@ -386,3 +386,41 @@ def test_track_reference_kf_recovers_pose():
     assert int(n_inl) >= n - 5
     T_true = np.asarray(state.kfs.T_cw[1])
     assert np.abs(np.asarray(T) - T_true).max() < 0.05
+
+
+def test_retired_ring_wrap():
+    """push_retired wraps at capacity, keeping the newest records (old
+    chains fall back to the broken-chain resolver by design)."""
+    from orb_slam2_ssd_semantic_tpu.mapping.map_state import (
+        RetiredRing,
+        push_retired,
+    )
+
+    R = 4
+    ring = RetiredRing(
+        uid=jnp.full((R,), -1, jnp.int32),
+        parent_uid=jnp.full((R,), -1, jnp.int32),
+        T_rel=jnp.tile(jnp.eye(4, dtype=jnp.float32), (R, 1, 1)),
+        count=jnp.int32(0),
+    )
+    for batch in range(3):  # 6 records through a 4-slot ring
+        uids = jnp.asarray([batch * 2, batch * 2 + 1], jnp.int32)
+        mask = jnp.ones((2,), bool)
+        T = jnp.tile(jnp.eye(4, dtype=jnp.float32), (2, 1, 1))
+        T = T.at[:, 0, 3].set(uids.astype(jnp.float32))
+        ring = push_retired(ring, mask, uids, uids + 100, T)
+    assert int(ring.count) == 6
+    got = sorted(int(u) for u in np.asarray(ring.uid))
+    assert got == [2, 3, 4, 5]  # oldest two (0, 1) overwritten
+    # Payload rows stayed aligned with their uids.
+    for i, u in enumerate(np.asarray(ring.uid)):
+        assert float(np.asarray(ring.T_rel)[i][0, 3]) == float(u)
+        assert int(np.asarray(ring.parent_uid)[i]) == int(u) + 100
+    # Masked-out rows are not written.
+    ring2 = push_retired(
+        ring, jnp.asarray([False, True]), jnp.asarray([90, 91], jnp.int32),
+        jnp.asarray([190, 191], jnp.int32),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32), (2, 1, 1)),
+    )
+    assert int(ring2.count) == 7
+    assert 91 in np.asarray(ring2.uid) and 90 not in np.asarray(ring2.uid)
