@@ -204,8 +204,11 @@ def main():
         jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(Tji),
         jnp.asarray(w), jnp.ones((len(ei),), bool),
     )
+    # The chain-PCR preconditioner (pose_graph.py) propagates corrections
+    # across the full diameter in one application, so a shallow CG depth
+    # converges where the old block-Jacobi setup (cg=50) could not.
     PG_ITERS = 20
-    PG_CG = 50
+    PG_CG = 12
 
     def run_pg():
         T = optimize_pose_graph_pcg(

@@ -278,8 +278,15 @@ class LoopCloser:
                 optimize_pose_graph_pcg,
             )
 
+            # Spanning-chain order (uid-sorted live slots) drives the
+            # block-tridiagonal PCR preconditioner.
+            order = np.argsort(
+                np.where(valid_np & (uid_np >= 0), uid_np, 2 ** 30),
+                kind="stable",
+            ).astype(np.int32)
             T_after = optimize_pose_graph_pcg(
-                T_before, state.kfs.valid, graph, fixed=fixed
+                T_before, state.kfs.valid, graph, fixed=fixed,
+                chain_perm=jnp.asarray(order),
             )
 
         # Carry each map point rigidly with its reference keyframe
