@@ -195,3 +195,48 @@ def test_distributed_ba_communicates_only_reduced_system(rng):
         f"collective of {max(sizes)} elements >= per-shard obs count "
         f"{per_shard_M}: observation-sized communication detected"
     )
+
+
+def test_sharded_bow_detect_matches_single_device(rng):
+    """kf-sharded loop-candidate retrieval (parallel/dist_bow.py) must
+    return the same candidates as place_recognition.detect_candidates:
+    shard-local top-k + a C-per-device gather is exact because the
+    global top-C is contained in the union of local top-Cs."""
+    from orb_slam2_ssd_semantic_tpu.mapping import place_recognition as pr
+    from orb_slam2_ssd_semantic_tpu.parallel.dist_bow import (
+        make_sharded_bow_vectors,
+        make_sharded_detect,
+    )
+    from orb_slam2_ssd_semantic_tpu.parallel.mesh import kf_sharding
+
+    n_dev = min(8, len(jax.devices()))
+    mesh = make_mesh(n_kf=n_dev, n_pt=1)
+    F, N = 4 * n_dev, 64
+
+    desc = jnp.asarray(
+        rng.integers(0, 2**32, (F, N, 8), dtype=np.uint32), jnp.uint32
+    )
+    valid = jnp.asarray(rng.uniform(size=(F, N)) > 0.2)
+    build = make_sharded_bow_vectors(mesh, pr.bow_vector)
+    sh = kf_sharding(mesh)
+    db = build(jax.device_put(desc, sh), jax.device_put(valid, sh))
+    db_ref = jax.vmap(pr.bow_vector)(desc, valid)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), atol=1e-5)
+
+    query = db_ref[3] * 0.9 + db_ref[7] * 0.1
+    query = query / jnp.linalg.norm(query)
+    db_valid = jnp.asarray(rng.uniform(size=F) > 0.1)
+    exclude = jnp.zeros((F,), bool).at[3].set(True)
+    min_score = jnp.float32(0.05)
+
+    ids_r, s_r, ok_r = pr.detect_candidates(
+        query, db_ref, db_valid, exclude, min_score, max_candidates=4
+    )
+    detect = make_sharded_detect(mesh, max_candidates=4)
+    ids_d, s_d, ok_d = detect(
+        query, jax.device_put(db, sh), jax.device_put(db_valid, sh),
+        jax.device_put(exclude, sh), min_score,
+    )
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_r), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids_d), np.asarray(ids_r))
+    np.testing.assert_array_equal(np.asarray(ok_d), np.asarray(ok_r))
