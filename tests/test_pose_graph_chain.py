@@ -156,3 +156,31 @@ def test_pcr_pcg_scrambled_slot_order():
     )
     dt = np.linalg.norm(T_s[perm][:, :3, 3] - T_ref[:, :3, 3], axis=-1)
     assert dt.max() < 1e-3, dt.max()
+
+
+def test_pcg_lowers_with_true_f32_contractions():
+    """On TPU the default f32 dot multiplies in bf16 (~8 cm of error on
+    20 m translations — enough to diverge the 10k-node solve on-chip
+    while CPU tests pass bit-identical). Pin at the StableHLO level that
+    the large-graph solver's contractions carry HIGHEST operand
+    precision so the regression can't silently return."""
+    import re
+
+    import jax
+
+    F = 16
+    T_gt = _circle_poses(F)
+    graph = _chain_graph(T_gt)
+    lowered = jax.jit(
+        lambda T: optimize_pose_graph_pcg(
+            T, jnp.ones((F,), bool), graph, iters=2, cg_iters=3
+        )
+    ).lower(jnp.asarray(T_gt))
+    txt = lowered.as_text()
+    dots = re.findall(r"stablehlo\.dot_general.*", txt)
+    assert dots, "expected dot_general ops in the lowered solver"
+    weak = [d for d in dots if "HIGHEST" not in d]
+    assert not weak, (
+        f"{len(weak)}/{len(dots)} contractions lowered at default "
+        f"precision, e.g.:\n{weak[0][:200]}"
+    )
