@@ -279,6 +279,15 @@ def main():
         from orb_slam2_ssd_semantic_tpu.geometry import se3 as se3_ops
 
         det = Detector(cfg.semantic)
+        # The bench grid is 0.1 m — a 4 m max-depth ray crosses <= 40
+        # voxels, so the default 128-step DDA (sized for 0.05 m) would
+        # 3x the sampling bandwidth for nothing.
+        import dataclasses
+
+        dense_cfg = dataclasses.replace(
+            cfg.dense,
+            max_ray_steps=int(cfg.dense.cloud_max_depth / 0.1) + 8,
+        )
         state = carry.state
         kf_valid = np.asarray(state.kfs.valid)
         kf_frames = np.asarray(state.kfs.frame_id)[kf_valid]
@@ -291,24 +300,31 @@ def main():
                               origin=(-2.0, 0.0, -2.0))
             grid = grid._replace(log_odds=grid_lo)
 
+            # Detection: the WHOLE keyframe queue through one bf16
+            # forward (RunDetect.cc:44 queue semantics; batch>1 fills
+            # the MXU — a scan of batch-1 convs leaves it idle).
+            fis = jnp.asarray(kf_frames, jnp.int32)
+            grays = g_dev[fis].astype(jnp.float32)
+            rgbs = jnp.repeat(grays[..., None], 3, -1)
+            dd = det._detect_batched(det.params, rgbs, cfg.camera.height,
+                                     cfg.camera.width)
+            ndet = dd.valid.sum(-1)
+
+            # Occupancy insertion stays a scan: each KF's rays update the
+            # shared grid sequentially (log-odds accumulation orders).
             def body(grid, inp):
                 fi, slot = inp
-                gray = g_dev[fi].astype(jnp.float32)
                 depth = d_dev[fi].astype(jnp.float32) * 1e-3
-                rgb = jnp.repeat(gray[..., None], 3, -1)
-                dd = det._detect(det.params, rgb, cfg.camera.height,
-                                 cfg.camera.width)
                 T_cw = T_cw_all[slot]
                 pts, valid = keyframe_cloud(
-                    depth, T_cw, cfg.camera, cfg.dense)
+                    depth, T_cw, cfg.camera, dense_cfg)
                 origin = se3_ops.se3_inverse(T_cw)[:3, 3]
-                grid = insert_scan(grid, origin, pts, valid, cfg=cfg.dense)
-                return grid, dd.valid.sum()
+                grid = insert_scan(grid, origin, pts, valid, cfg=dense_cfg)
+                return grid, 0
 
-            grid, ndet = jax.lax.scan(
+            grid, _ = jax.lax.scan(
                 body, grid,
-                (jnp.asarray(kf_frames, jnp.int32),
-                 jnp.asarray(kf_slots, jnp.int32)),
+                (fis, jnp.asarray(kf_slots, jnp.int32)),
             )
             return grid.log_odds, ndet
 

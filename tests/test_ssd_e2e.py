@@ -148,3 +148,36 @@ def test_default_detector_autoloads_trained_weights():
         f"default detector found nothing for class {target_cls}: "
         f"{[(int(classes[i]), boxes[i].round(0)) for i in range(len(valid)) if valid[i]][:5]}"
     )
+
+
+def test_batched_bf16_detection_matches_single():
+    """detect_batch runs the whole queue through ONE bf16 forward
+    (RunDetect.cc:44 processes its queue per wake); it must find the
+    same objects as the f32 single-image path on trained weights."""
+    from orb_slam2_ssd_semantic_tpu.config import SemanticConfig
+    from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
+    from orb_slam2_ssd_semantic_tpu.semantic.ssdlite import load_params
+
+    cfg = SemanticConfig(num_classes=4, det_score_threshold=0.4)
+    det = Detector(cfg)
+    det.params = load_params(CKPT, det.params)
+
+    scenes = [_render_scene(c=c)[0] for c in (1, 2, 3)]
+    singles = [det(s) for s in scenes]
+    batched = det.detect_batch(scenes)
+    assert len(batched) == 3
+    for s, b in zip(singles, batched):
+        sv = np.asarray(s.valid)
+        bv = np.asarray(b.valid)
+        assert sv.sum() == bv.sum() > 0
+        # Same classes, boxes within a couple of pixels, scores within
+        # the bf16 activation noise.
+        np.testing.assert_array_equal(
+            np.asarray(s.classes)[sv], np.asarray(b.classes)[bv]
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.boxes)[sv], np.asarray(b.boxes)[bv], atol=3.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(s.scores)[sv], np.asarray(b.scores)[bv], atol=0.05
+        )
