@@ -134,8 +134,20 @@ class TrackingConfig:
     min_frames_between_kfs: int = 0
     max_frames_between_kfs: int = 30
     # Reference-to-KF tracked-point ratio below which a new KF is needed
-    # (Tracking.cc:2423-2480 map-overlap ratio test).
-    kf_ref_ratio: float = 0.9
+    # (Tracking.cc:2423-2480 map-overlap ratio test; thRefRatio=0.75 for
+    # RGB-D). The reference count is the new keyframe's total
+    # keypoint->landmark association count at insertion (tracked +
+    # spawned), refreshed per keyframe.
+    kf_ref_ratio: float = 0.75
+    # Absolute inlier floor: insert a keyframe whenever local-map inliers
+    # drop below this, regardless of the ratio test. The reference's
+    # cadence driver for RGB-D is the close-point rule (c1c,
+    # Tracking.cc:2430), which cannot fire when the whole view is beyond
+    # the close-depth range (a far-wall stretch of a room circuit) — the
+    # exact regime where inlier decay to <100 degrades pose conditioning
+    # and injects decimeter drift (r3 finding). A floor keeps geometry
+    # well-conditioned everywhere. 0 disables (reference parity).
+    kf_min_inliers: int = 0
     # Close-point bookkeeping for RGB-D KF decision (Tracking.cc:2430).
     min_close_points: int = 100
     max_non_tracked_close: int = 70
@@ -156,6 +168,18 @@ class TrackingConfig:
     # Max new map points spawned from close depth per KF
     # (Tracking.cc:2548-2605 caps at 100 when many close points).
     max_new_points_per_kf: int = 100
+    # Subpixel (discontinuity-aware bilinear) keypoint depth sampling
+    # (ops/image.robust_depth_sample). False = reference nearest-pixel
+    # reads (Frame::ComputeStereoFromRGBD).
+    subpixel_depth: bool = True
+    # Snap the live pose to the BA-refined keyframe pose at insertion.
+    # The reference does NOT do this (Tracking's pose evolves only
+    # through per-frame optimization against the refined map points);
+    # snapping feeds the BA correction into the velocity model, whose
+    # next prediction then overshoots by the same jump — a period-2
+    # inlier oscillation (~600 -> ~180 -> ~500) observed on the r4
+    # circuit. Kept as an option for the scan regime.
+    reanchor_on_kf: bool = False
     # Asynchronous mapping: dispatch local BA to the device WITHOUT
     # fetching its outputs, so the host frame loop never waits on it —
     # the functional analogue of the reference's LocalMapping thread
@@ -248,6 +272,9 @@ class MapConfig:
     # Fuse projection search radius in px, scaled by predicted octave
     # (ORBmatcher.cc:1057 th=3.0).
     fuse_search_radius: float = 3.0
+    # Erase BA-outlier observations after each local BA pass
+    # (Optimizer.cc:962-984 vToErase). Diagnostic switch.
+    prune_ba_outliers: bool = True
     # Observations gathered per point for descriptor/normal maintenance
     # (MapPoint::ComputeDistinctiveDescriptors considers all; a bounded
     # sample keeps shapes fixed).

@@ -260,9 +260,34 @@ def _fuse_directions_batched(state: SlamState, src, dst, ok_d, cfg: SlamConfig
             max_dist=match_ops.TH_LOW,
         )
         j = jnp.clip(m.idx, 0, K - 1)
+        # Reference acceptance gates the window search alone lacks
+        # (ORBmatcher::Fuse, ORBmatcher.cc:1090-1135): the target
+        # keypoint's octave must be within [pred_level-1, pred_level],
+        # and the FULL reprojection chi2 — including the stereo/depth
+        # uR term for keypoints with depth — must pass (5.99 mono /
+        # 7.8 stereo). Without the depth term, repetitive texture
+        # (similar corners at different depths, e.g. a box edge vs the
+        # wall behind it) merges landmarks across depth layers; each
+        # wrong merge drags point positions, and the following BA
+        # rotates the local window to fit — the dominant yaw-drift
+        # injection at high keyframe cadence (r4 finding).
+        kp_lvl = kfs.level[dst_f][j]
+        lvl_ok = (kp_lvl >= pred_level - 1) & (kp_lvl <= pred_level)
+        du = kfs.uv[dst_f][j] - uv
+        e2_mono = jnp.sum(du * du, axis=-1)
+        ur_proj = uv[:, 0] - cam.depth_bf / jnp.maximum(z, 1e-6)
+        kp_d = kfs.depth[dst_f][j]
+        kp_ur = kfs.uv[dst_f][j, 0] - cam.depth_bf / jnp.maximum(kp_d, 1e-6)
+        has_d = kp_d > 1e-6
+        dur = ur_proj - kp_ur
+        e2 = jnp.where(has_d, e2_mono + dur * dur, e2_mono)
+        inv_sigma2 = 1.0 / (sf[jnp.clip(kp_lvl, 0, sf.shape[0] - 1)] ** 2)
+        chi2_th = jnp.where(has_d, 7.8, 5.99)
+        gate = lvl_ok & (e2 * inv_sigma2 <= chi2_th)
+        ok_m = m.valid & gate
         existing = kfs.kp_point[dst_f][j]
-        bind = m.valid & (existing < 0)
-        merge = m.valid & (existing >= 0) & (existing != ids)
+        bind = ok_m & (existing < 0)
+        merge = ok_m & (existing >= 0) & (existing != ids)
         # Winner = more observations, ties broken by LOWER id: the
         # opposite directions of a pair then propose the SAME merge
         # (without the deterministic tie-break they propose opposite
@@ -515,6 +540,18 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
         state = create_new_map_points(state, cfg)
     if cfg.map.fuse_neighbors > 0:
         state = fuse_map_points(state, cfg)
+    return _ba_and_maintain(state, cfg)
+
+
+def assemble_local_ba(state: SlamState, cfg: SlamConfig):
+    """Window assembly only (the covis window, local point set, anchors,
+    observation tensors) — exposed for diagnostics/tests. Returns
+    (prob, kf_ids, all_ids, row_ok, local_ids, point_valid,
+    slot_of_point, kp_point_all)."""
+    return _assemble(state, cfg)
+
+
+def _assemble(state: SlamState, cfg: SlamConfig):
     W = cfg.map.local_ba_window
     A = cfg.map.local_ba_fixed_anchors
     N = cfg.map.local_ba_max_points
@@ -600,6 +637,16 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
         inv_sigma2=inv_sigma2,
         is_stereo=depth > 1e-6,
     )
+    return (prob, kf_ids, all_ids, row_ok, local_ids, point_valid,
+            slot_of_point, kp_point_all)
+
+
+def _ba_and_maintain(state: SlamState, cfg: SlamConfig) -> SlamState:
+    P = state.points.pos.shape[0]
+    F = state.kfs.valid.shape[0]
+    (prob, kf_ids, all_ids, row_ok, local_ids, point_valid,
+     slot_of_point, kp_point_all) = _assemble(state, cfg)
+    fixed = prob.fixed
     res = local_bundle_adjust(prob, cfg.camera, cfg.optimizer)
 
     # ---- write back -------------------------------------------------------
@@ -619,6 +666,8 @@ def local_mapping_step(state: SlamState, cfg: SlamConfig) -> SlamState:
     # ---- observation pruning (erase BA outliers) --------------------------
     had_obs = prob.point_slot >= 0
     pruned = had_obs & (~res.inlier)
+    if not cfg.map.prune_ba_outliers:
+        pruned = jnp.zeros_like(pruned)
     new_kp_point = jnp.where(pruned, -1, kp_point_all)
     kfs = kfs._replace(kp_point=kfs.kp_point.at[jnp.where(row_ok, all_ids, F)].set(
         jnp.where(row_ok[:, None], new_kp_point, state.kfs.kp_point[all_ids]),

@@ -256,7 +256,9 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
         need_kf = ok_lm & (
             (carry.frames_since_kf >= t.max_frames_between_kfs)
             | need_close
-            | (res.n_inliers < 0.75 * jnp.maximum(carry.ref_kf_inliers, 1))
+            | (res.n_inliers
+               < t.kf_ref_ratio * jnp.maximum(carry.ref_kf_inliers, 1))
+            | (res.n_inliers < t.kf_min_inliers)
         ) & (res.n_inliers >= t.min_inliers_track)
 
         def do_insert(op):
@@ -285,12 +287,14 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
             (state, res.kp_point, carry.word_db, carry.val_db,
              carry.cons_count),
         )
-        # Re-anchor on the BA-refined pose when a keyframe was made.
-        T_cw = jnp.where(
-            need_kf,
-            state.kfs.T_cw[state.last_kf],
-            T_cw,
-        )
+        # Optionally re-anchor on the BA-refined pose when a keyframe was
+        # made (off by default — see TrackingConfig.reanchor_on_kf).
+        if t.reanchor_on_kf:
+            T_cw = jnp.where(
+                need_kf,
+                state.kfs.T_cw[state.last_kf],
+                T_cw,
+            )
 
         rel = T_cw @ se3.se3_inverse(carry.last_T_cw)
         vel = jnp.where(
@@ -305,7 +309,12 @@ def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarra
             last_kp_point=kp_point,
             velocity=vel,
             frames_since_kf=jnp.where(need_kf, 0, carry.frames_since_kf + 1),
-            ref_kf_inliers=jnp.where(need_kf, res.n_inliers, carry.ref_kf_inliers),
+            # Reference count = the new KF's total landmark associations
+            # (tracked + spawned), the analogue of the reference KF's
+            # TrackedMapPoints (NeedNewKeyFrame's nRefMatches).
+            ref_kf_inliers=jnp.where(
+                need_kf, jnp.sum((kp_point >= 0).astype(jnp.int32)),
+                carry.ref_kf_inliers),
             frame_idx=carry.frame_idx + 1,
             word_db=word_db,
             val_db=val_db,

@@ -86,9 +86,15 @@ def frame_from_features(
         feats = feats._replace(valid=feats.valid & ((ms > 0.5) | ~apply))
     uv_ud = cam_ops.undistort_points(feats.uv, cfg.camera)
     feats = feats._replace(uv=jnp.where(feats.valid[:, None], uv_ud, 0.0))
-    # Depth sampled nearest-neighbor (depth maps must not be interpolated
-    # across discontinuities).
-    d, dv = image_ops.nearest_sample(depth_img, feats.uv)
+    # Depth sampled at the SUBPIXEL keypoint location with the
+    # discontinuity-aware bilinear sampler: nearest-pixel reads carry a
+    # half-pixel positional bias that is several cm on grazing-angle
+    # surfaces at range — a systematic error that dominated the r3
+    # circuit's translation drift (see ops/image.robust_depth_sample).
+    if cfg.tracking.subpixel_depth:
+        d, dv = image_ops.robust_depth_sample(depth_img, feats.uv)
+    else:
+        d, dv = image_ops.nearest_sample(depth_img, feats.uv)
     kp_depth = jnp.where(feats.valid & dv & (d > 1e-6), d, 0.0)
     ur = cam_ops.stereo_right_u(feats.uv, kp_depth, cfg.camera)
     obs = jnp.concatenate([feats.uv, ur[:, None]], axis=-1)
@@ -352,7 +358,23 @@ def _spawn_points(state: SlamState, frame: Frame, T_cw: jnp.ndarray, kp_point, k
 
     depth_ok = frame.kp_depth > 0
     if not spawn_all:
-        depth_ok = depth_ok & (frame.kp_depth < cam.depth_threshold)
+        # Close points always spawn; FAR points spawn by nearest-first
+        # rank until min_far_spawn total points exist — the reference's
+        # depth-sorted CreateNewKeyFrame rule ("create all close points,
+        # and if fewer than 100, the 100 closest regardless",
+        # Tracking.cc:2548-2605). Without it, far-wall views (every
+        # tangential stretch of a room circuit) starve the map and
+        # tracking collapses when the close-depth cone empties.
+        close = depth_ok & (frame.kp_depth < cam.depth_threshold)
+        candidate = frame.feats.valid & depth_ok & (kp_point < 0)
+        order = jnp.argsort(
+            jnp.where(candidate, frame.kp_depth, jnp.inf)
+        )
+        depth_rank = jnp.zeros((K,), jnp.int32).at[order].set(
+            jnp.arange(K, dtype=jnp.int32)
+        )
+        n_spawn = cfg.tracking.max_new_points_per_kf
+        depth_ok = close | (depth_rank < n_spawn)
     new_mask = frame.feats.valid & depth_ok & (kp_point < 0)
     # World positions.
     pts_c = cam_ops.backproject(frame.feats.uv, frame.kp_depth, cam)
@@ -604,7 +626,8 @@ def fused_track_step(
     need_kf = ok_lm & (
         (frames_since_kf >= t.max_frames_between_kfs)
         | need_close
-        | (res.n_inliers < 0.75 * jnp.maximum(ref_kf_inliers, 1))
+        | (res.n_inliers < t.kf_ref_ratio * jnp.maximum(ref_kf_inliers, 1))
+        | (res.n_inliers < t.kf_min_inliers)
     ) & (res.n_inliers >= t.min_inliers_track)
 
     rel = T_cw @ se3.se3_inverse(last_T_cw)
@@ -779,7 +802,10 @@ class Tracker:
                 kf_slot = int(self.state.last_kf)
             self.metrics.count("keyframes")
             self.frames_since_kf = 0
-            self.ref_kf_inliers = n_inl
+            # Reference count = the new KF's landmark associations
+            # (tracked + spawned) — the NeedNewKeyFrame nRefMatches
+            # analogue. Fetch blocks only on the (cheap) insertion.
+            self.ref_kf_inliers = int(jnp.sum((kp_point >= 0)))
             if self.geom_db is not None:
                 # Geometry-mask reference-view DB update on keyframes
                 # (GeometricModelUpdateDB, Geometry.cc:73-79,532-546).
