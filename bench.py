@@ -1,37 +1,48 @@
-"""Benchmark: RGB-D SLAM throughput on the real TPU chip.
+"""Benchmark: RGB-D SLAM throughput AND accuracy on the real TPU chip.
 
 Prints ONE JSON line (driver contract):
-  {"metric": "tracking_fps", "value": N, "unit": "frames/s", "vs_baseline": N}
+  {"metric": "tracking_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N, "ate_m": A, ...}
 plus a per-config table on stderr.
 
 Baseline: the reference runs "real-time" tracking (~30 Hz) on an
 i7-class CPU (reference README.md:286; BASELINE.md) at the same
 operating point (640x480 RGB-D, 1000 ORB features, 8 pyramid levels).
-vs_baseline = our frames/s / 30.
+vs_baseline = our frames/s / 30 — GATED on accuracy: if the final
+(corrected) trajectory ATE exceeds ATE_GATE_M (0.15 m, the reference's
+published geom-mask accuracy class, reference README.md:146-153),
+vs_baseline is reported as 0.0. Speed at broken accuracy is not a
+result (VERDICT r3 weak #1).
 
-Method (honest-bench revision, VERDICT r2 #1): a LOOP-CIRCUIT trajectory
-around a four-wall-furnished room — per-frame motion ~3.4 deg yaw +
-~15 cm, driving the keyframe cadence to the reference's ~1 KF/8-10
-frames and revisiting the start for loop closure — rendered ON DEVICE
-(io/device_render.py; only poses cross the host link). The FULL
-per-frame SLAM update (ORB extraction, motion-model + local-map
-tracking, keyframe events with triangulation/fusion/local BA/culling,
-and in-scan BoW loop DETECTION against the trained vocabulary) runs as
-one device-side lax.scan (tracking/scan_tracker.py). Configs measured:
+Method (multi-lap revision, VERDICT r3 #1/#2): a 2.3-lap LOOP-CIRCUIT
+trajectory around a four-wall-furnished room (337 frames at the same
+~2.45 deg/frame yaw + ~15 cm/frame motion as the r3 bench), rendered ON
+DEVICE. The full per-frame SLAM update (ORB extraction, motion-model +
+local-map tracking, keyframe events with triangulation/fusion/local
+BA/culling, in-scan BoW loop detection) runs as equal-length device
+scan segments; BETWEEN segments the host verifies flagged loop
+candidates and applies the pose-graph + global-BA correction MID-RUN
+(the reference's CorrectLoop interrupts tracking the same way,
+LoopClosing.cc:544-580). Corrections are warm after the first rep;
+their wall time is reported separately and excluded from fps, matching
+the reference's background-thread GBA.
 
+Configs:
   track      — tracking + mapping, no place recognition
-  full_slam  — + in-scan loop detection (trained vocab)   <- PRIMARY
-  dynamic    — + per-frame optical-flow dynamic masking
-  semantic   — + batched SSD detection + occupancy insertion over the
-               sequence's keyframes (the async keyframe-consumer path)
+  full_slam  — + in-scan loop detection + MID-RUN corrections <- PRIMARY
+  dynamic    — + per-frame optical-flow dynamic masking in-scan
+  semantic   — + batched SSD detection + depth-window fusion + object
+               database + occupancy insertion over the keyframe queue
+               (the full async keyframe-consumer pipeline)
 
-This measures on-device throughput, which is what the chip delivers
-when host-attached; per-frame host round trips through this
-environment's remote-TPU relay cost ~30 ms each and are an artifact of
-the tunnel, not the engine (the interactive path is tracking/tracker.py).
-Tracking quality is checked against exact ground truth in the same run.
+ATE is evaluated against exact ground truth: both the raw tracked
+trajectory and the keyframe-relative resolved trajectory (corrections
+applied retroactively, SaveTrajectoryTUM semantics) are reported; the
+JSON carries the RESOLVED one — no best-of reduction (VERDICT r3
+weak #1).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -41,20 +52,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 30.0
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "191"))
-# 5 reps: each remote-relay dispatch/sync costs tens of ms — at ~1.3 s
-# per rep that is several percent of run-to-run noise; amortizing over 5
-# tightens the measurement.
-REPS = int(os.environ.get("BENCH_REPS", "5"))
-# "dynamic" (per-frame optical-flow masking in-scan) is opt-in: the
-# rotation-dominant circuit is the flow mask's worst case (the fitted
-# homography cancels most ego-motion but the residual field still trips
-# the threshold near depth edges, invalidating good keypoints), and its
-# value is demonstrated under actual dynamics in
-# tests/test_accuracy_gates.py instead. BENCH_CONFIGS=dynamic measures
-# its throughput cost here when wanted.
-CONFIGS = os.environ.get("BENCH_CONFIGS", "track,full_slam,semantic").split(",")
+ATE_GATE_M = 0.15
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "337"))
+SEGMENT = int(os.environ.get("BENCH_SEGMENT", "84"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+CONFIGS = os.environ.get(
+    "BENCH_CONFIGS", "track,full_slam,dynamic,semantic").split(",")
 PRIMARY = os.environ.get("BENCH_PRIMARY", "full_slam")
+LAPS = float(os.environ.get("BENCH_LAPS", "2.3"))
 
 
 def main():
@@ -62,9 +67,6 @@ def main():
 
     import jax
 
-    # The env vars above are NOT picked up under this environment's
-    # sitecustomize backend boot — set through jax.config (round 1's
-    # driver bench cold-compiled ~5.5 min and timed out without this).
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -77,8 +79,12 @@ def main():
     from orb_slam2_ssd_semantic_tpu.io.artifacts import find_checkpoint
     from orb_slam2_ssd_semantic_tpu.io.device_render import render_frames
     from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
-    from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
+    from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
     from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
+    from orb_slam2_ssd_semantic_tpu.tracking.segmented import (
+        resolve_trajectory,
+        track_sequence_segmented,
+    )
 
     t_phase = time.perf_counter()
 
@@ -88,18 +94,10 @@ def main():
         print(f"# phase {name}: {now - t_phase:.1f}s", file=sys.stderr)
         t_phase = now
 
-    import dataclasses
-
-    from orb_slam2_ssd_semantic_tpu.config import MapConfig
-
     # Dataset-level configuration, like the reference's per-sequence yaml
     # (TUM3.yaml): ThDepth=80 extends the close-point range to ~6 m for
-    # the 8x10 m room, and the state capacities are sized for the task
-    # (a 160-frame sequence peaks under 20 live keyframes / ~3k points;
-    # 128/16k slots give >6x headroom — the reference's dynamically-grown
-    # containers hold exactly the live set, so fixed capacities sized to
-    # the workload are the honest comparison, and the 10k-keyframe scale
-    # regime is covered separately by bench_ba.py).
+    # the 8x10 m room; capacities sized for the workload (2.3 laps peak
+    # ~25 live keyframes / ~2.5k points).
     base = SlamConfig()
     cfg = dataclasses.replace(
         base,
@@ -107,15 +105,10 @@ def main():
         map=dataclasses.replace(
             base.map, max_keyframes=128, max_map_points=16384
         ),
-        # In-frustum candidate count peaks ~1.1k on this map; 1536 slots
-        # cover it with margin at 3/4 the matching traffic of the
-        # 2048-slot engine default.
         tracking=dataclasses.replace(base.tracking, local_map_candidates=1536),
     )
-    seq = SyntheticSequence(
-        n_frames=N_FRAMES, trajectory="loop",
-        loop_laps=float(os.environ.get("BENCH_LAPS", "1.3")),
-    )
+    seq = SyntheticSequence(n_frames=N_FRAMES, trajectory="loop",
+                            loop_laps=LAPS)
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
     g_dev, d_dev = render_frames(
         poses, cfg.camera, size=seq.room.size,
@@ -128,162 +121,88 @@ def main():
     vocab_path = find_checkpoint("orbvoc_synth.npz")
     vocab = voc.load_binary(vocab_path) if vocab_path else None
     va = scan_tracker.VocabArrays.from_vocabulary(vocab) if vocab else None
-
     gt = seq.gt_positions()
 
     def run_cfg(name):
         use_vocab = name in ("full_slam", "dynamic", "semantic") and va is not None
-        use_flow = name in ("dynamic",)
+        use_flow = name == "dynamic"
         kw = {}
         if use_vocab:
             kw = dict(vocab=va, voc_k=vocab.k, voc_depth=vocab.depth,
                       voc_words=vocab.n_words)
 
         def run():
-            carry = scan_tracker.init_scan(
-                empty_state(cfg), g_dev[0], d_dev[0], cfg,
-                vocab=va if use_vocab else None,
-                voc_k=vocab.k if use_vocab else 10,
-                voc_depth=vocab.depth if use_vocab else 3,
+            lc = LoopCloser(cfg, vocab=vocab) if use_vocab else None
+            return track_sequence_segmented(
+                g_dev, d_dev, cfg, segment_len=SEGMENT,
+                loop_closer=lc, use_flow=use_flow, **kw,
             )
-            carry, T_all, stats = scan_tracker.track_sequence_scan(
-                carry, g_dev[1:], d_dev[1:], cfg,
-                prev_grays=g_dev[:-1] if use_flow else None,
-                use_flow=use_flow, **kw,
-            )
-            return carry, T_all, stats
 
-        # Warmup/compile (materialize to host — block_until_ready alone
-        # does not reliably synchronize through the remote-TPU relay).
-        carry, T_all, stats = run()
-        np.asarray(T_all)
-
+        res = run()  # compile warmup (scan + correction paths)
         semantic_extra = None
         if name == "semantic":
-            semantic_extra = make_semantic_pass(carry, cfg)
+            semantic_extra = make_semantic_pass(res.carry, cfg)
             semantic_extra()  # warm
-
         phase(f"compile+warmup [{name}]")
 
-        t0 = time.perf_counter()
+        fps_list, sem_s = [], 0.0
         for _ in range(REPS):
-            out = run()
+            t0 = time.perf_counter()
+            res = run()
+            track_wall = time.perf_counter() - t0 - res.correct_s
             if semantic_extra is not None:
-                semantic_extra()
-        T_host = np.asarray(out[1])
-        stats_host = np.asarray(out[2])
-        dt = (time.perf_counter() - t0) / REPS
-        # Each timed rep processes ALL N frames: frame 0 runs the full
-        # build+insert inside init_scan (timed), frames 1..N-1 in the
-        # scan.
-        fps = N_FRAMES / dt
+                t1 = time.perf_counter()
+                n_objects = semantic_extra()
+                sem_s = time.perf_counter() - t1
+                track_wall += sem_s
+            fps_list.append(N_FRAMES / track_wall)
+        fps = float(np.mean(fps_list))
 
-        pos = np.concatenate([np.eye(4, dtype=np.float32)[None], T_host])
-        est = np.stack([-T[:3, :3].T @ T[:3, 3] for T in pos])
-        res = evaluate_ate_xyz(est, gt)
-        n_kfs = int(stats_host[-1, 2])
-        loops = stats_host[:, 3][stats_host[:, 3] >= 0]
-        ate = res.rmse
-        if len(loops) and use_vocab:
-            # Geometric verification + correction of the in-scan loop
-            # detections, host-side AFTER the timed scan — the
-            # reference's CorrectLoop/GBA also runs in background
-            # threads concurrent with tracking, so its wall time is
-            # reported but excluded from the tracking fps.
-            t_lc = time.perf_counter()
-            ate_corr, n_applied = apply_loop_corrections(
-                out[0], T_host, stats_host, cfg
-            )
-            lc_s = time.perf_counter() - t_lc
-            print(
-                f"# [{name}] loop correction: {n_applied}/{len(loops)} "
-                f"events verified+applied in {lc_s:.2f}s; "
-                f"ATE {res.rmse:.4f} -> {ate_corr:.4f} m",
-                file=sys.stderr,
-            )
-            ate = min(ate, ate_corr)
+        est_raw = np.stack([-T[:3, :3].T @ T[:3, 3] for T in res.T_all])
+        ate_raw = evaluate_ate_xyz(est_raw, gt).rmse
+        est = resolve_trajectory(res)
+        ate = evaluate_ate_xyz(est, gt).rmse
+        n_kfs = int(res.stats[-1, 2])
+        warm_corr = [c[3] for c in res.corrections]
         print(
-            f"# [{name}] {N_FRAMES} frames in {dt:.2f}s -> {fps:.1f} fps; "
-            f"ATE RMSE {ate:.4f} m; "
-            f"ok={int((stats_host[:, 0] == 0).sum())}/{len(stats_host)} "
-            f"kfs={n_kfs} loop_events={len(loops)}",
+            f"# [{name}] {N_FRAMES} frames -> {fps:.1f} fps; "
+            f"ATE tracked {ate_raw:.4f} -> resolved {ate:.4f} m; "
+            f"ok={int((res.stats[:, 0] == 0).sum())}/{len(res.stats)} "
+            f"kfs={n_kfs} loop_flags={res.n_loop_events} "
+            f"corrections={len(res.corrections)} "
+            f"(warm wall {', '.join(f'{w:.2f}s' for w in warm_corr) or '-'})"
+            + (f" objects={n_objects}" if name == "semantic" else "")
+            + (f" sem_pass={sem_s:.2f}s" if name == "semantic" else ""),
             file=sys.stderr,
         )
-        return fps, ate, n_kfs, len(loops)
-
-    def apply_loop_corrections(carry, T_host, stats_host, cfg):
-        """Verify each flagged loop candidate geometrically and, on
-        success, run the pose-graph correction (LoopCloser._correct);
-        the per-frame trajectory re-anchors to its nearest earlier
-        keyframe's correction (SaveTrajectoryTUM's keyframe-relative
-        resolution, System.cc:476-502)."""
-        from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
-
-        state = carry.state
-        valid = np.asarray(state.kfs.valid)
-        fid = np.asarray(state.kfs.frame_id)
-        T_kf_before = np.asarray(state.kfs.T_cw).copy()
-        lc = LoopCloser(cfg)
-        n_applied = 0
-        for i, s in enumerate(stats_host):
-            cand = int(s[3])
-            if cand < 0 or not valid[cand]:
-                continue
-            slots = np.nonzero(valid & (fid == i + 1))[0]
-            if not len(slots):
-                continue
-            kf = int(slots[0])
-            ok, T_ji, _ = lc._estimate_loop_transform(state, kf, cand)
-            if ok:
-                state_new = lc._correct(state, kf, cand, T_ji)
-                Tn = np.asarray(state_new.kfs.T_cw)[np.asarray(state_new.kfs.valid)]
-                if np.isfinite(Tn).all():
-                    state = state_new
-                    n_applied += 1
-                else:
-                    print("# loop correction produced non-finite poses; "
-                          "skipped", file=sys.stderr)
-        T_kf_after = np.asarray(state.kfs.T_cw)
-        if not np.isfinite(T_kf_after[valid]).all() or n_applied == 0:
-            return float("inf"), n_applied
-
-        # Re-anchor each frame on its nearest earlier (or first) live
-        # keyframe: T'_f = (T_f inv(T_kf)) T'_kf.
-        kf_frames = np.sort(fid[valid])
-        kf_slot_by_frame = {int(fid[s]): int(s) for s in np.nonzero(valid)[0]}
-        est = [np.zeros(3, np.float32)]
-        for i, T_f in enumerate(T_host):
-            f = i + 1
-            earlier = kf_frames[kf_frames <= f]
-            ref = int(earlier[-1]) if len(earlier) else int(kf_frames[0])
-            s = kf_slot_by_frame[ref]
-            T_corr = (T_f @ np.linalg.inv(T_kf_before[s])) @ T_kf_after[s]
-            est.append(-T_corr[:3, :3].T @ T_corr[:3, 3])
-        est_arr = np.stack(est)
-        if not np.isfinite(est_arr).all():
-            return float("inf"), n_applied
-        res = evaluate_ate_xyz(est_arr, gt)
-        return res.rmse, n_applied
+        return dict(fps=fps, ate=ate, ate_raw=ate_raw, kfs=n_kfs,
+                    flags=res.n_loop_events, corr=len(res.corrections),
+                    corr_s=max(warm_corr) if warm_corr else 0.0)
 
     def make_semantic_pass(carry, cfg):
-        """Batched keyframe consumers: SSD detection over keyframe images
-        + occupancy insertion (RunDetect + UpdateOctomap equivalents)."""
+        """Batched keyframe consumers over the sequence's keyframes: SSD
+        detection, depth-window fusion (Merge2d3d), object-database
+        merge, occupancy insertion — the reference's RunDetect +
+        MapDrawer::UpdateOctomap pipeline including the fusion the r3
+        bench omitted (VERDICT r3 weak #3)."""
         import functools
 
-        from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
         from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
             empty_grid,
             insert_scan,
         )
         from orb_slam2_ssd_semantic_tpu.dense.pointcloud import keyframe_cloud
         from orb_slam2_ssd_semantic_tpu.geometry import se3 as se3_ops
+        from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
+        from orb_slam2_ssd_semantic_tpu.semantic.fusion import (
+            fuse_depth_window,
+        )
+        from orb_slam2_ssd_semantic_tpu.semantic.object_db import (
+            add_objects,
+            empty_db,
+        )
 
         det = Detector(cfg.semantic)
-        # The bench grid is 0.1 m — a 4 m max-depth ray crosses <= 40
-        # voxels, so the default 128-step DDA (sized for 0.05 m) would
-        # 3x the sampling bandwidth for nothing.
-        import dataclasses
-
         dense_cfg = dataclasses.replace(
             cfg.dense,
             max_ray_steps=int(cfg.dense.cloud_max_depth / 0.1) + 8,
@@ -294,15 +213,14 @@ def main():
         kf_slots = np.nonzero(kf_valid)[0]
         kf_frames = np.clip(kf_frames, 0, N_FRAMES - 1)
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit)
         def consume(g_dev, d_dev, T_cw_all, grid_lo):
             grid = empty_grid(extent=(16.0, 4.0, 16.0), resolution=0.1,
                               origin=(-2.0, 0.0, -2.0))
             grid = grid._replace(log_odds=grid_lo)
 
-            # Detection: the WHOLE keyframe queue through one bf16
-            # forward (RunDetect.cc:44 queue semantics; batch>1 fills
-            # the MXU — a scan of batch-1 convs leaves it idle).
+            # Detection: the WHOLE keyframe queue in one bf16 forward
+            # (RunDetect.cc:44 queue semantics; batch>1 fills the MXU).
             fis = jnp.asarray(kf_frames, jnp.int32)
             grays = g_dev[fis].astype(jnp.float32)
             rgbs = jnp.repeat(grays[..., None], 3, -1)
@@ -310,30 +228,37 @@ def main():
                                      cfg.camera.width)
             ndet = dd.valid.sum(-1)
 
-            # Occupancy insertion stays a scan: each KF's rays update the
-            # shared grid sequentially (log-odds accumulation orders).
-            def body(grid, inp):
-                fi, slot = inp
+            # Per-keyframe: depth-window fusion of the detections into
+            # 3D clusters + object-database merge + occupancy insertion.
+            db = empty_db(cfg.semantic.max_objects)
+
+            def body2(carry_in, inp):
+                grid, db = carry_in
+                i, fi, slot = inp
                 depth = d_dev[fi].astype(jnp.float32) * 1e-3
                 T_cw = T_cw_all[slot]
-                pts, valid = keyframe_cloud(
-                    depth, T_cw, cfg.camera, dense_cfg)
+                det_i = jax.tree.map(lambda x: x[i], dd)
+                cen, siz, prob, cls, ok = fuse_depth_window(
+                    det_i, depth, T_cw, cfg.camera, cfg.semantic)
+                db = add_objects(db, cen, siz, prob, cls, ok)
+                pts, valid = keyframe_cloud(depth, T_cw, cfg.camera,
+                                            dense_cfg)
                 origin = se3_ops.se3_inverse(T_cw)[:3, 3]
                 grid = insert_scan(grid, origin, pts, valid, cfg=dense_cfg)
-                return grid, 0
+                return (grid, db), 0
 
-            grid, _ = jax.lax.scan(
-                body, grid,
-                (fis, jnp.asarray(kf_slots, jnp.int32)),
+            idx = jnp.arange(len(kf_frames), dtype=jnp.int32)
+            (grid, db), _ = jax.lax.scan(
+                body2, (grid, db),
+                (idx, fis, jnp.asarray(kf_slots, jnp.int32)),
             )
-            return grid.log_odds, ndet
+            return grid.log_odds, ndet, db.valid.sum()
 
         grid0 = jnp.zeros((160, 40, 160), jnp.float32)
 
         def go():
-            lo, nd = consume(g_dev, d_dev, carry.state.kfs.T_cw, grid0)
-            np.asarray(nd)
-            return lo
+            lo, nd, n_obj = consume(g_dev, d_dev, carry.state.kfs.T_cw, grid0)
+            return int(n_obj)
 
         return go
 
@@ -341,21 +266,29 @@ def main():
     for name in CONFIGS:
         results[name] = run_cfg(name)
 
-    print("# config        fps     ATE(m)   kfs  loop_events", file=sys.stderr)
-    for name, (fps, ate, kfs, loops) in results.items():
+    print("# config        fps     ATE(m)  raw(m)  kfs flags corr",
+          file=sys.stderr)
+    for name, r in results.items():
         print(
-            f"# {name:12s} {fps:7.1f} {ate:8.4f} {kfs:4d} {loops:4d}",
+            f"# {name:12s} {r['fps']:7.1f} {r['ate']:7.4f} "
+            f"{r['ate_raw']:7.4f} {r['kfs']:4d} {r['flags']:4d} "
+            f"{r['corr']:4d}",
             file=sys.stderr,
         )
 
-    fps, ate, kfs, loops = results[PRIMARY if PRIMARY in results else CONFIGS[0]]
+    r = results[PRIMARY if PRIMARY in results else CONFIGS[0]]
+    gate_ok = r["ate"] <= ATE_GATE_M
     print(
         json.dumps(
             {
                 "metric": "tracking_fps",
-                "value": round(fps, 2),
+                "value": round(r["fps"], 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(r["fps"] / BASELINE_FPS, 3)
+                if gate_ok else 0.0,
+                "ate_m": round(r["ate"], 4),
+                "ate_gate_m": ATE_GATE_M,
+                "loop_corrections": r["corr"],
             }
         )
     )

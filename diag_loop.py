@@ -66,6 +66,10 @@ def main():
             base.loop,
             run_global_ba=env.get("D_GBA", "1") == "1",
         ),
+        optimizer=dataclasses.replace(
+            base.optimizer,
+            global_ba_iters=int(env.get("D_GBA_ITERS", base.optimizer.global_ba_iters)),
+        ),
     )
     print(f"# cfg: subpix={cfg.tracking.subpixel_depth} "
           f"far={cfg.tracking.max_new_points_per_kf} "
@@ -80,6 +84,7 @@ def main():
         poses, cfg.camera, size=seq.room.size,
         boxes=tuple(tuple(map(tuple, b)) for b in seq.room.boxes),
         seed=seq.seed,
+        depth_noise=float(env.get("D_NOISE", "0")),
     )
     np.asarray(g_dev[0][0, 0])
     print(f"# rendered {n_frames} frames, laps={laps}")

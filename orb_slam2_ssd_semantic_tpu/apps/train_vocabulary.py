@@ -137,16 +137,26 @@ def main(argv=None):
     cfg = SlamConfig()
     t0 = time.perf_counter()
 
-    # Corpus: ORB descriptors from many synthetic viewpoints.
-    seq = SyntheticSequence(n_frames=args.frames)
+    # Corpus: ORB descriptors from many synthetic viewpoints — the
+    # four-wall loop room across several texture seeds (what place
+    # recognition must discriminate) plus the orbit room for variety
+    # (DBoW2 trains ORBvoc from ~10k diverse real frames; this is the
+    # synthetic-world equivalent).
     per_image: list[np.ndarray] = []
-    for i in range(len(seq)):
-        g, _ = seq.gray_depth(i)
-        f = extract(jnp.asarray(g, jnp.float32), cfg.orb)
-        d = np.asarray(f.desc)[np.asarray(f.valid)]
-        per_image.append(d)
-        if i % 20 == 0:
-            print(f"extracted {i}/{len(seq)} ({time.perf_counter()-t0:.1f}s)")
+    sources = [
+        SyntheticSequence(n_frames=args.frames, trajectory="loop",
+                          loop_laps=1.0, seed=s)
+        for s in (17, 23, 31, 41)
+    ] + [SyntheticSequence(n_frames=args.frames // 2)]
+    for seq in sources:
+        for i in range(len(seq)):
+            g, _ = seq.gray_depth(i)
+            f = extract(jnp.asarray(g, jnp.float32), cfg.orb)
+            d = np.asarray(f.desc)[np.asarray(f.valid)]
+            per_image.append(d)
+            if i % 40 == 0:
+                print(f"extracted {len(per_image)} images "
+                      f"({time.perf_counter()-t0:.1f}s)")
     data = np.concatenate(per_image)
     rng = np.random.default_rng(args.seed)
     if len(data) > args.max_desc:

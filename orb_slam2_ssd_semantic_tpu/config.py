@@ -51,16 +51,13 @@ class CameraConfig:
     # Virtual baseline-times-fx used to WEIGHT the depth residual in
     # optimization: uR = u - depth_bf/z (the reference's
     # EdgeStereoSE3ProjectXYZ with bf). Equivalent depth sigma is
-    # sigma_z = sigma_px * z^2 / depth_bf. Round 2 shipped 400 ("a
-    # measured-depth sensor deserves a stronger weight"), which is right
-    # for fronto-parallel views with clean depth but WRONG in general:
-    # keypoint depth is nearest-sampled, and on grazing-angle surfaces
-    # (any tangential view of a wall) the half-pixel sampling offset is
-    # a several-cm *biased* depth error; at weight 400 that bias drives
-    # systematic drift and ultimately tracking collapse (r3 loop-circuit
-    # scenario died at ~frame 50 with depth_bf=400 and tracks the full
-    # loop at 0.09 m ATE with 40). The reference's weighting is the
-    # robust operating point.
+    # sigma_z = sigma_px * z^2 / depth_bf. The reference's 40 remains
+    # the robust operating point: r4 measured depth_bf=120 and 400 on
+    # the loop circuit (after the subpixel depth sampler removed the
+    # grazing-angle bias that sank 400 in r2/r3) and both still tracked
+    # WORSE than 40 — residual depth error is viewpoint-correlated, and
+    # over-weighting it trades the well-measured image-plane constraint
+    # for it.
     depth_bf: float = 40.0
 
     @property
@@ -134,11 +131,16 @@ class TrackingConfig:
     min_frames_between_kfs: int = 0
     max_frames_between_kfs: int = 30
     # Reference-to-KF tracked-point ratio below which a new KF is needed
-    # (Tracking.cc:2423-2480 map-overlap ratio test; thRefRatio=0.75 for
-    # RGB-D). The reference count is the new keyframe's total
-    # keypoint->landmark association count at insertion (tracked +
-    # spawned), refreshed per keyframe.
-    kf_ref_ratio: float = 0.75
+    # (Tracking.cc:2423-2480 map-overlap ratio test). The reference
+    # compares against the ref KF's MATURE tracked points (>= 3
+    # observations) at thRefRatio=0.75; this engine's reference count is
+    # the new keyframe's TOTAL association count at insertion (tracked +
+    # spawned, typically ~5x the mature count), so the equivalent
+    # operating point is a lower ratio. 0.15 yields the reference-like
+    # ~1 KF / 8-14 frames cadence on the bench circuit; raising it
+    # toward 0.75 inserts a keyframe every 2-3 frames, tripling keyframe
+    # -event cost for no accuracy gain (r4 measurements).
+    kf_ref_ratio: float = 0.15
     # Absolute inlier floor: insert a keyframe whenever local-map inliers
     # drop below this, regardless of the ratio test. The reference's
     # cadence driver for RGB-D is the close-point rule (c1c,
@@ -220,14 +222,28 @@ class OptimizerConfig:
     # matches that effective behavior at a deterministic cost.
     local_ba_iters_initial: int = 5
     local_ba_iters_refine: int = 5
-    # Global BA iterations on loop closure (LoopClosing.cc:831).
-    global_ba_iters: int = 10
+    # Global BA iterations on loop closure. The reference runs 10
+    # (LoopClosing.cc:831) then keeps refining across subsequent loops;
+    # 20 here lets one pass converge far enough that the cross-loop
+    # fused observations (not the single measured loop transform) set
+    # the final trajectory.
+    global_ba_iters: int = 20
     # Essential-graph optimization iterations (Optimizer.cc:995+).
     essential_graph_iters: int = 20
     # Levenberg-Marquardt damping bounds.
     lm_lambda_init: float = 1e-4
     lm_lambda_max: float = 1e2
     lm_lambda_min: float = 1e-8
+    # Whole-pass trust region for local BA: a window REFINEMENT never
+    # legitimately moves a keyframe pose far (r4 measurements: median
+    # refinement 2 cm) — a larger jump means the window was degenerate
+    # and the step ran along a weak mode (one observed pass moved a pose
+    # 80 cm while decreasing the robust cost). If any free pose moves
+    # beyond these limits, the WHOLE pass (poses + points + pruning) is
+    # reverted, preserving map consistency. Global BA after loop
+    # closure is not subject to this (its large moves are the point).
+    local_ba_max_pose_move: float = 0.25  # meters
+    local_ba_max_pose_rot_deg: float = 5.0
     # Dtype of the local-BA incidence/Schur reduction GEMMs ("bfloat16"
     # or "float32"). bf16 halves the dominant HBM read of each GN
     # iteration, but its ~0.4% relative block error is ABSOLUTE error
@@ -310,17 +326,55 @@ class LoopConfig:
     # Candidate score must exceed 0.8 x best (KeyFrameDatabase.cc:76-197
     # uses minScore from covis; plus 0.75*bestAccScore accumulation).
     score_ratio: float = 0.75
-    # Sim3 RANSAC (LoopClosing.cc:330): 300 iters, 20 inliers.
+    # Sim3 RANSAC (LoopClosing.cc:330 uses 300 iters / 20 inliers).
+    # 10 here: this floor only gates entry to the Sim3 REFINEMENT — the
+    # actual loop acceptance is the guided map-neighborhood confirmation
+    # (min_total_matches) plus the correction consistency guard, which
+    # the reference does not have. On repetitive texture the wide-window
+    # RANSAC consensus is small even for genuine revisits (the ratio
+    # test kills ambiguous true pairs); 10 verified 3D-consistent pairs
+    # seed a px-accurate bidirectional Sim3 refinement.
     sim3_ransac_iters: int = 300
-    sim3_min_inliers: int = 20
-    # Matches needed to accept loop after guided search
-    # (LoopClosing.cc:522: >= 40).
-    min_total_matches: int = 40
+    sim3_min_inliers: int = 10
+    # Matches needed to accept a loop after the guided map-neighborhood
+    # re-search (the reference requires 40 after SearchByProjection,
+    # LoopClosing.cc:522). At this engine's 1024-keypoint frames genuine
+    # revisits confirm with 100-700 guided matches; marginal/aliased
+    # candidates sit below ~50, and the pose-graph/GBA consistency guard
+    # (correction_guard) catches the rest.
+    min_total_matches: int = 60
     # KFs skipped after map init before loop detection (LoopClosing.cc:129).
     min_kfs_before_loop: int = 10
     # Run full-map bundle adjustment after each accepted loop correction
     # (the GBA thread of LoopClosing.cc:773-826).
     run_global_ba: bool = True
+    # Loop-edge weight in the essential graph. The reference weights all
+    # essential-graph edges equally (unit information, Optimizer.cc:
+    # 995-1100); an over-weighted loop edge forces any residual error of
+    # the measured loop transform into an otherwise-good trajectory
+    # (r4: a 3 cm T_ji error degraded a 4 cm-ATE run to 26 cm at weight
+    # 500).
+    loop_edge_weight: float = 100.0
+    # Covisibility weight threshold for essential-graph edges
+    # (Optimizer.cc:1100 uses 100; this engine's aggressive young-point
+    # culling keeps per-KF observation counts leaner than the
+    # reference's, so a lower threshold preserves graph connectivity).
+    essential_graph_covis_threshold: int = 30
+    # Minimum loop discrepancy worth correcting: if the measured loop
+    # transform differs from the CURRENT relative pose by less than this
+    # (translation, meters / rotation, degrees), the map already agrees
+    # with the loop to within measurement noise — applying a
+    # "correction" would only inject that noise into a consistent
+    # trajectory. The reference has no such gate (its drifts are always
+    # large); this engine's implicit revisit re-association keeps drift
+    # at cm scale, where the gate matters.
+    min_correction_translation: float = 0.03
+    min_correction_rotation_deg: float = 0.5
+    # Monotone acceptance: revert a loop correction whose post-GBA map
+    # consistency (median reprojection error) is worse than before the
+    # correction by more than this factor (+0.1 px absolute slack).
+    correction_guard: bool = True
+    correction_guard_slack: float = 1.3
     # DBoW2 vocabulary (.txt DBoW2 text format or .npz from
     # io/vocabulary.save_binary). Place recognition uses the hierarchical
     # vocabulary + L1 scoring (ORBVocabulary parity, System.cc:120-136
@@ -330,6 +384,12 @@ class LoopConfig:
     # the flat random codebook (place_recognition.py). None forces the
     # codebook.
     vocabulary_path: str | None = "auto"
+    # Absolute BoW-score floor for in-scan loop candidates
+    # (scan_tracker._detect_loop): candidates must beat BOTH the
+    # covis-min score (KeyFrameDatabase.cc:143-160 relative gate) and
+    # this floor — the relative gate alone admits noise matches when
+    # the covisible neighborhood happens to score near zero.
+    min_abs_score: float = 0.015
     # Binary global descriptor dimensionality for place recognition
     # (TPU-native replacement of the 1M-node DBoW2 tree; SURVEY.md §7
     # hard part #6).

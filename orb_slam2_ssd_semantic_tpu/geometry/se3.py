@@ -11,8 +11,23 @@ All functions are shape-polymorphic over leading batch dims where noted.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# TPU matmul/einsum default precision multiplies in bfloat16: ~0.4%
+# relative error, i.e. ~2 cm absolute on 5 m coordinates — catastrophic
+# for geometry (a 1.3 cm/frame pose bias on the r4 bench circuit came
+# entirely from this). EVERY contraction in this module therefore runs
+# at HIGHEST (true f32) precision; these are tiny (3x3/4x4/Nx3) ops, so
+# the cost is nil.
+_HP = jax.lax.Precision.HIGHEST
+_einsum = functools.partial(jnp.einsum, precision=_HP)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HP)
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -42,7 +57,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
-    W2 = W @ W
+    W2 = _mm(W, W)
     small = theta2 < 1e-12
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
@@ -85,7 +100,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
-    W2 = W @ W
+    W2 = _mm(W, W)
     small = theta2 < 1e-12
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
@@ -93,7 +108,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = eye + a[..., None, None] * W + b[..., None, None] * W2
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    t = _einsum("...ij,...j->...i", V, v)
     return rt_to_mat(R, t)
 
 
@@ -105,7 +120,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-32)
     W = hat(w)
-    W2 = W @ W
+    W2 = _mm(W, W)
     small = theta2 < 1e-12
     half_theta = theta / 2.0
     cot_term = jnp.where(
@@ -115,7 +130,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
     V_inv = eye - 0.5 * W + cot_term[..., None, None] * W2
-    v = jnp.einsum("...ij,...j->...i", V_inv, t)
+    v = _einsum("...ij,...j->...i", V_inv, t)
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -136,13 +151,13 @@ def mat_to_rt(T: jnp.ndarray):
 def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
     R, t = mat_to_rt(T)
     Rt = jnp.swapaxes(R, -1, -2)
-    return rt_to_mat(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+    return rt_to_mat(Rt, -_einsum("...ij,...j->...i", Rt, t))
 
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply T (...,4,4) to pts (..., N, 3) -> (..., N, 3)."""
     R, t = mat_to_rt(T)
-    return jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return _einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
 
 
 def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
@@ -194,18 +209,18 @@ def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 
 def sim3_apply(s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Apply similarity (s, R, t) to pts (..., N, 3)."""
-    return s[..., None, None] * jnp.einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
+    return s[..., None, None] * _einsum("...ij,...nj->...ni", R, pts) + t[..., None, :]
 
 
 def sim3_inverse(s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray):
     Rt = jnp.swapaxes(R, -1, -2)
     s_inv = 1.0 / s
-    return s_inv, Rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t)
+    return s_inv, Rt, -s_inv[..., None] * _einsum("...ij,...j->...i", Rt, t)
 
 
 def sim3_compose(s1, R1, t1, s2, R2, t2):
     """(s1,R1,t1) o (s2,R2,t2): first apply 2, then 1."""
-    return s1 * s2, R1 @ R2, s1[..., None] * jnp.einsum("...ij,...j->...i", R1, t2) + t1
+    return s1 * s2, _mm(R1, R2), s1[..., None] * _einsum("...ij,...j->...i", R1, t2) + t1
 
 
 def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
@@ -217,7 +232,7 @@ def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.sqrt(theta2 + 1e-32)
     s = jnp.exp(sigma)
     Phi = hat(phi)
-    Phi2 = Phi @ Phi
+    Phi2 = _mm(Phi, Phi)
 
     sig_small = jnp.abs(sigma) < 1e-5
     th_small = theta2 < 1e-10
@@ -261,7 +276,7 @@ def sim3_exp(v: jnp.ndarray):
     (s (...,), R (..., 3, 3), t (..., 3))."""
     rho, phi, sigma = v[..., 0:3], v[..., 3:6], v[..., 6]
     W = _sim3_W(phi, sigma)
-    return jnp.exp(sigma), so3_exp(phi), jnp.einsum("...ij,...j->...i", W, rho)
+    return jnp.exp(sigma), so3_exp(phi), _einsum("...ij,...j->...i", W, rho)
 
 
 def sim3_log(s: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -293,21 +308,21 @@ def horn_sim3(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray | None = Non
     sc = (src - mu_s[..., None, :]) * m
     dc = (dst - mu_d[..., None, :]) * m
     # Cross-covariance (3x3).
-    C = jnp.einsum("...ni,...nj->...ij", dc, sc) / n[..., None, None]
+    C = _einsum("...ni,...nj->...ij", dc, sc) / n[..., None, None]
     var_s = jnp.sum(sc * sc, axis=(-1, -2)) / n
     U, D, Vt = jnp.linalg.svd(C)
     det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     S = jnp.ones_like(D).at[..., 2].set(jnp.sign(det))
-    R = U @ (S[..., :, None] * Vt)
+    R = _mm(U, S[..., :, None] * Vt)
     if with_scale:
         s = jnp.sum(D * S, axis=-1) / jnp.maximum(var_s, 1e-32)
     else:
         s = jnp.ones(R.shape[:-2], dtype=src.dtype)
-    t = mu_d - s[..., None] * jnp.einsum("...ij,...j->...i", R, mu_s)
+    t = mu_d - s[..., None] * _einsum("...ij,...j->...i", R, mu_s)
     return s, R, t
 
 
 def is_rotation_matrix(R: jnp.ndarray, tol: float = 1e-4) -> jnp.ndarray:
     """Orthonormality check (reference: Geometry.cc:555 assert)."""
-    err = jnp.linalg.norm(R @ jnp.swapaxes(R, -1, -2) - jnp.eye(3, dtype=R.dtype), axis=(-1, -2))
+    err = jnp.linalg.norm(_mm(R, jnp.swapaxes(R, -1, -2)) - jnp.eye(3, dtype=R.dtype), axis=(-1, -2))
     return err < tol

@@ -151,7 +151,8 @@ def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "size", "boxes", "seed", "ss")
+    jax.jit,
+    static_argnames=("cam", "size", "boxes", "seed", "ss", "depth_noise"),
 )
 def render_frames(
     poses_wc: jnp.ndarray,  # (N, 4, 4) camera-to-world
@@ -160,6 +161,7 @@ def render_frames(
     boxes=None,
     seed: int = 17,
     ss: int = 3,
+    depth_noise: float = 0.0,
 ):
     """All frames in one device program.
 
@@ -167,7 +169,10 @@ def render_frames(
     — the compact dtypes the scan tracker consumes. `ss` supersamples
     the gray channel (box filter; anti-aliasing is what keeps FAST
     corners viewpoint-stable — io/synthetic.py docstring); depth uses
-    the center ray, like a real depth camera."""
+    the center ray, like a real depth camera. `depth_noise` adds
+    Kinect-like multiplicative Gaussian depth noise (sigma =
+    depth_noise * z, e.g. 0.01 for ~1% — the realistic structured-light
+    error model that the exact ray-traced depth otherwise lacks)."""
     if boxes is None:
         boxes = tuple(_default_boxes(size))
     boxes_arr = jnp.asarray(boxes, jnp.float32)  # (B, 2, 3)
@@ -194,6 +199,17 @@ def render_frames(
         gray = jnp.mean(jax.lax.map(sub, offs), axis=0)
         # Depth uses the exact center ray, like a real depth camera.
         _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes_arr, seed)
+        if depth_noise > 0.0:
+            # Deterministic per-pose noise field (keyed on the camera
+            # position so every frame differs but reps are identical).
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed),
+                (jnp.abs(T_wc[0, 3] * 1e4) + jnp.abs(T_wc[2, 3] * 1e2))
+                .astype(jnp.int32),
+            )
+            depth = depth * (
+                1.0 + depth_noise * jax.random.normal(key, depth.shape)
+            )
         g8 = jnp.clip(gray, 0, 255).astype(jnp.uint8)
         d16 = jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16)
         return g8, d16

@@ -651,6 +651,25 @@ def _ba_and_maintain(state: SlamState, cfg: SlamConfig) -> SlamState:
 
     # ---- write back -------------------------------------------------------
     free = (~fixed) & row_ok
+    # Whole-pass trust region (OptimizerConfig.local_ba_max_pose_move):
+    # if any free pose moved implausibly far, the window was degenerate;
+    # revert the entire pass (poses + points + pruning stay untouched).
+    dt = jnp.linalg.norm(res.T_cw[:, :3, 3] - prob.T_cw[:, :3, 3], axis=-1)
+    dR = jnp.einsum("fij,fkj->fik", res.T_cw[:, :3, :3],
+                    prob.T_cw[:, :3, :3],
+                    precision=jax.lax.Precision.HIGHEST)
+    tr = dR[:, 0, 0] + dR[:, 1, 1] + dR[:, 2, 2]
+    ang = jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    oc = cfg.optimizer
+    accept = ~jnp.any(
+        free & ((dt > oc.local_ba_max_pose_move)
+                | (ang > oc.local_ba_max_pose_rot_deg))
+    )
+    res = res._replace(
+        T_cw=jnp.where(accept, res.T_cw, prob.T_cw),
+        points=jnp.where(accept, res.points, prob.points),
+        inlier=res.inlier | ~accept,
+    )
     kfs = state.kfs
     new_T = jnp.where(free[:, None, None], res.T_cw, prob.T_cw)
     kfs = kfs._replace(

@@ -48,9 +48,39 @@ from orb_slam2_ssd_semantic_tpu.mapping.sim3_opt import optimize_sim3
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
 
 
+def map_median_reproj_error(state: SlamState, cfg: SlamConfig) -> float:
+    """Median reprojection error (px) over all valid (keyframe, point)
+    observations — the map-consistency metric behind the loop-correction
+    acceptance guard."""
+    return float(_map_median_reproj_error_jit(state, cfg))
+
+
+@jax.jit
+def _median_masked(err, ok):
+    return jnp.nanmedian(jnp.where(ok, err, jnp.nan))
+
+
+def _map_median_reproj_error_jit(state: SlamState, cfg: SlamConfig):
+    from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+        problem_from_state,
+    )
+
+    prob = problem_from_state(state, cfg)
+    pc = jnp.einsum(
+        "nij,nj->ni", prob.T_cw[prob.obs_kf, :3, :3],
+        prob.points[prob.obs_pt], precision=jax.lax.Precision.HIGHEST,
+    ) + prob.T_cw[prob.obs_kf, :3, 3]
+    uv, _ = cam_ops.project(pc, cfg.camera)
+    err = jnp.linalg.norm(uv - prob.obs_uvr[:, :2], axis=-1)
+    return _median_masked(err, prob.obs_valid & (pc[:, 2] > 1e-6))
+
+
 class LoopCloser:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, vocab=None):
+        """`vocab`: optionally pass a preloaded io/vocabulary.Vocabulary
+        to skip the disk load (fresh per-run closers in benches)."""
         self.cfg = cfg
+        self._preloaded_vocab = vocab
         F = cfg.map.max_keyframes
         # Consistency chains: [(covis_group_set, consecutive_count)] from
         # the previous keyframe's candidates (LoopClosing.cc:200-290
@@ -64,6 +94,13 @@ class LoopCloser:
         # checkpoints/orbvoc_synth.npz; the flat random codebook is only
         # the no-artifact fallback.
         self.vocab = None
+        if vocab is not None:
+            self.vocab = vocab
+            K = cfg.orb.max_keypoints
+            self.word_db = jnp.full((F, K), -1, jnp.int32)
+            self.val_db = jnp.zeros((F, K), jnp.float32)
+            self._idf = jnp.asarray(vocab.word_weight)
+            return
         p = cfg.loop.vocabulary_path
         if p == "auto":
             from orb_slam2_ssd_semantic_tpu.io.artifacts import (
@@ -142,7 +179,9 @@ class LoopCloser:
         for cand in self._detect(state, kf_id, kf_uid, scores):
             ok, T_ji, n_inl = self._estimate_loop_transform(state, kf_id, cand)
             if ok:
-                state = self._correct(state, kf_id, cand, T_ji)
+                state, accepted = self._correct(state, kf_id, cand, T_ji)
+                if not accepted:
+                    continue
                 self.loops.append((cand, kf_id, np.asarray(T_ji)))
                 self.last_loop_uid = kf_uid
                 return state, True
@@ -225,6 +264,62 @@ class LoopCloser:
         )
         n = int(n_inl)
         if n < cfg.loop.sim3_min_inliers:
+            # Pose-GUIDED fallback: unguided appearance matching (mutual
+            # ratio over the full descriptor sets, the reference's
+            # SearchByBoW stage) collapses under the >~15 deg viewpoint
+            # change a typical revisit carries. When accumulated drift
+            # is small relative to the scene scale — the normal regime
+            # for this engine (cm-level at revisit) — the CURRENT pose
+            # estimates already nearly align the pair, so a projected
+            # window search (the reference's own SearchByProjection
+            # machinery, used there for reloc and loop guided search)
+            # finds the correspondences appearance-only matching
+            # cannot. The measured transform still comes purely from
+            # the matched 3D-3D geometry.
+            T_seed = state.kfs.T_cw[kf_id] @ se3.se3_inverse(
+                state.kfs.T_cw[cand])
+            pi_in_j = se3.transform_points(T_seed, pi)
+            uv_pred, z_pred = cam_ops.project(pi_in_j, cam)
+            q_valid = vi & (z_pred > 0.05) & cam_ops.in_image(uv_pred, cam)
+            K = pi.shape[0]
+            # No rotation-histogram gate here: across a 15-30 deg
+            # viewpoint change the IC angles drift enough that the
+            # histogram's top-3-bins rule rejects most TRUE pairs
+            # (measured 29 vs 77 matches on a genuine revisit); the 3D
+            # RANSAC below is the consistency filter.
+            #
+            # TWO-PASS narrowing (SearchBySim3 -> OptimizeSim3 ->
+            # narrower SearchByProjection, LoopClosing.cc:439-540): on
+            # repetitive texture a wide window locks many matches onto
+            # the neighboring similar corner (3D residual = one texture
+            # cell), starving the RANSAC consensus. Pass 1's small true
+            # consensus still pins an approximate transform; pass 2
+            # re-projects with it and matches in a window smaller than
+            # the aliasing pitch, recovering the full true set.
+            T1 = jnp.asarray(T_seed)
+            mg = None
+            for radius, ransac_th in ((40.0, 0.10), (8.0, 0.05)):
+                pi_in_j = se3.transform_points(T1, pi)
+                uv_pred, z_pred = cam_ops.project(pi_in_j, cam)
+                q_valid = vi & (z_pred > 0.05) & cam_ops.in_image(uv_pred, cam)
+                mg = match_ops.match_by_window(
+                    di, dj, uv_pred, state.kfs.uv[kf_id],
+                    q_valid, vj, jnp.full((K,), radius, jnp.float32),
+                    max_dist=match_ops.TH_LOW,
+                )
+                tgt = jnp.clip(mg.idx, 0, pj.shape[0] - 1)
+                dst = pj[tgt]
+                s, R, t, inl, n_inl = ransac_rigid(
+                    src, dst, mg.valid, jax.random.PRNGKey(kf_id + 7919),
+                    threshold=ransac_th, with_scale=False,
+                )
+                if int(n_inl) < 5:
+                    break
+                T1 = jnp.eye(4, dtype=jnp.float32)
+                T1 = T1.at[:3, :3].set(R).at[:3, 3].set(t)
+            n = int(n_inl)
+            m = mg
+        if n < cfg.loop.sim3_min_inliers:
             return False, None, n
         # Bidirectional-reprojection refinement of the RANSAC seed
         # (OptimizeSim3, Optimizer.cc:1310; scale frozen for RGB-D).
@@ -236,29 +331,138 @@ class LoopCloser:
             state.kfs.uv[cand], state.kfs.uv[kf_id][tgt],
             isig_i, isig_j[tgt], m.valid & inl, cam, fix_scale=True,
         )
-        n = int(res.num_inliers)
-        if n < cfg.loop.sim3_min_inliers:
-            return False, None, n
-        # T_j_from_i in camera frames: p_j = R p_i + t ->
-        # loop constraint T_ji = T_j_cw @ inv(T_i_cw) measured = [R | t].
+        # No inlier re-check here: res.num_inliers counts over the tiny
+        # stage-1 match set and says nothing about loop validity — the
+        # guided whole-neighborhood confirmation below is the accept
+        # gate. A degenerate refinement simply fails confirmation.
         T_ji = np.eye(4, dtype=np.float32)
-        T_ji[:3, :3] = np.asarray(res.R)
-        T_ji[:3, 3] = np.asarray(res.t)
-        return True, jnp.asarray(T_ji), n
+        if bool(np.isfinite(np.asarray(res.R)).all()
+                and np.isfinite(np.asarray(res.t)).all()):
+            T_ji[:3, :3] = np.asarray(res.R)
+            T_ji[:3, 3] = np.asarray(res.t)
+        else:
+            T_ji[:3, :3] = np.asarray(R)
+            T_ji[:3, 3] = np.asarray(t)
+
+        # Guided confirmation + wide refinement (the reference's second
+        # stage: SearchByProjection with the estimated Scw over the
+        # loop-side covisibility group's MAP points, then accept only at
+        # >= 40 total matches — LoopClosing.cc:480-543). The keyframe-
+        # pair RANSAC alone passes aliased 20-40-inlier transforms on
+        # repetitive texture; demanding that the candidate's whole map
+        # NEIGHBORHOOD re-projects consistently kills those, and
+        # re-fitting on the wider inlier set cuts the transform noise
+        # that the pose graph would otherwise bend the trajectory with.
+        ok2, T_ji2, n2 = self._guided_confirm(state, kf_id, cand, T_ji)
+        if not ok2:
+            return False, None, n2
+        return True, jnp.asarray(T_ji2), n2
+
+    def _guided_confirm(self, state: SlamState, kf_id: int, cand: int,
+                        T_ji: np.ndarray):
+        """Project the loop-side (cand + covis neighbors) landmarks into
+        the current keyframe through T_ji @ T_cand_cw, window-match, and
+        require >= min_total_matches; refine the rigid transform on the
+        matched set (Horn, f32)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        P = state.points.pos.shape[0]
+        F = state.kfs.valid.shape[0]
+        covrow = np.asarray(covisibility_row(
+            state.kfs.kp_point, state.kfs.valid, cand, P))
+        nbrs = [cand] + [
+            int(f) for f in np.argsort(-covrow)[:5]
+            if covrow[f] > 0 and bool(state.kfs.valid[f])
+        ]
+        # Loop-side landmark set: points observed by the neighborhood.
+        obs_mask = np.zeros(P, bool)
+        kp_np = np.asarray(state.kfs.kp_point)
+        kv_np = np.asarray(state.kfs.kp_valid)
+        for f in nbrs:
+            ids = kp_np[f][(kp_np[f] >= 0) & kv_np[f]]
+            obs_mask[ids] = True
+        obs_mask &= np.asarray(state.points.valid)
+        ids = np.nonzero(obs_mask)[0]
+        if len(ids) < cfg.loop.min_total_matches:
+            return False, T_ji, len(ids)
+        # Pad to fixed size for the jitted matcher.
+        CAP = 4096
+        ids = ids[:CAP]
+        sel = np.full(CAP, P - 1, np.int64)
+        sel[:len(ids)] = ids
+        sel_valid = np.zeros(CAP, bool)
+        sel_valid[:len(ids)] = True
+
+        X = state.points.pos[jnp.asarray(sel)]
+        desc = state.points.desc[jnp.asarray(sel)]
+        T_kf_est = jnp.asarray(T_ji) @ state.kfs.T_cw[cand]
+        pc = se3.transform_points(T_kf_est, X)
+        uv, z = cam_ops.project(pc, cam)
+        q_valid = (
+            jnp.asarray(sel_valid) & (z > 0.05) & cam_ops.in_image(uv, cam)
+        )
+        m = match_ops.match_by_window(
+            desc, state.kfs.desc[kf_id], uv, state.kfs.uv[kf_id],
+            q_valid, state.kfs.kp_valid[kf_id],
+            jnp.full((CAP,), 8.0, jnp.float32),
+            max_dist=match_ops.TH_LOW,
+        )
+        n_m = int(jnp.sum(m.valid))
+        if n_m < cfg.loop.min_total_matches:
+            return False, T_ji, n_m
+        # Wide-set rigid refinement: landmark positions in cand's camera
+        # frame vs the matched keypoints' depth backprojections in the
+        # current keyframe's frame.
+        src = se3.transform_points(state.kfs.T_cw[cand], X)
+        tgt_idx = jnp.clip(m.idx, 0, state.kfs.uv.shape[1] - 1)
+        d_kf = state.kfs.depth[kf_id][tgt_idx]
+        dst = cam_ops.backproject(state.kfs.uv[kf_id][tgt_idx], d_kf, cam)
+        wm = (m.valid & (d_kf > 1e-6)).astype(jnp.float32)
+        # Robust trim: drop pairs whose residual under T_ji exceeds 3x
+        # the median (guards the Horn fit against residual mismatches).
+        pred = se3.transform_points(jnp.asarray(T_ji), src)
+        r = jnp.linalg.norm(pred - dst, axis=-1)
+        med = jnp.nanmedian(jnp.where(wm > 0, r, jnp.nan))
+        wm = wm * (r <= jnp.maximum(3.0 * med, 0.05)).astype(jnp.float32)
+        if int(jnp.sum(wm)) < cfg.loop.min_total_matches:
+            return False, T_ji, int(jnp.sum(wm))
+        s, R, t = se3.horn_sim3(src, dst, wm, with_scale=False)
+        T_new = np.eye(4, dtype=np.float32)
+        T_new[:3, :3] = np.asarray(R)
+        T_new[:3, 3] = np.asarray(t)
+        return True, T_new, n_m
 
     # ---- correction -------------------------------------------------------
 
     def _correct(self, state: SlamState, kf_id: int, cand: int, T_ji):
         cfg = self.cfg
         F = state.kfs.valid.shape[0]
+        state0 = state
+
+        # Minimum-discrepancy gate (LoopConfig.min_correction_*): a loop
+        # whose measurement matches the current relative pose to within
+        # noise proves consistency but corrects nothing.
+        T_cur_rel = np.asarray(
+            state.kfs.T_cw[kf_id] @ se3.se3_inverse(state.kfs.T_cw[cand]))
+        D = np.asarray(T_ji) @ np.linalg.inv(T_cur_rel)
+        d_t = float(np.linalg.norm(D[:3, 3]))
+        d_r = float(np.degrees(np.arccos(
+            np.clip((np.trace(D[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))))
+        if (d_t < cfg.loop.min_correction_translation
+                and d_r < cfg.loop.min_correction_rotation_deg):
+            return state0, False
+
+        err_before = map_median_reproj_error(state, cfg)
         covis = covisibility(
             state.kfs.kp_point, state.kfs.valid, state.points.pos.shape[0]
         )
         T_before = state.kfs.T_cw
         graph = build_graph_arrays(
-            covis, state.kfs.valid, threshold=100,
+            covis, state.kfs.valid,
+            threshold=cfg.loop.essential_graph_covis_threshold,
             max_edges=4 * F, T_cw=T_before,
-            extra_edges=[(cand, kf_id, 500.0, np.asarray(T_ji))],
+            extra_edges=[(cand, kf_id, cfg.loop.loop_edge_weight,
+                          np.asarray(T_ji))],
             uid=state.kfs.uid,
         )
         # Gauge: the oldest live keyframe (slot 0 can be reused).
@@ -309,12 +513,28 @@ class LoopCloser:
         # share observations (covisibility edges form; duplicates merge).
         from orb_slam2_ssd_semantic_tpu.mapping.local_mapping import fuse_pair
 
-        state = fuse_pair(state, cand, kf_id, cfg)
+        # The reference projects loop-side landmarks into EVERY
+        # corrected-side keyframe (mvpCurrentConnectedKFs x
+        # mvpLoopMapPoints, LoopClosing.cc:791-824). Fuse both
+        # neighborhoods pairwise: loop-side = cand + its best covis
+        # neighbors, corrected-side = the new KF + its best covis
+        # neighbors. The resulting cross-loop observations are what let
+        # the subsequent global BA pull the trajectory toward the DATA
+        # optimum rather than the (noisier) single measured loop
+        # transform.
         covis_np = np.asarray(covis)
         valid_np2 = np.asarray(state.kfs.valid)
-        for n in np.argsort(-covis_np[cand])[:3]:
-            if covis_np[cand, n] > 0 and valid_np2[n]:
-                state = fuse_pair(state, int(n), kf_id, cfg)
+        loop_side = [cand] + [
+            int(n) for n in np.argsort(-covis_np[cand])[:3]
+            if covis_np[cand, n] > 0 and valid_np2[n]
+        ]
+        cur_side = [kf_id] + [
+            int(n) for n in np.argsort(-covis_np[kf_id])[:3]
+            if covis_np[kf_id, n] > 0 and valid_np2[n]
+        ]
+        for a in loop_side:
+            for b in cur_side:
+                state = fuse_pair(state, a, b, cfg)
 
         # Full-map bundle adjustment seeded by the pose-graph solution
         # (the GBA thread the reference spawns in LoopClosing.cc:773-779;
@@ -326,4 +546,22 @@ class LoopCloser:
             )
 
             state = global_ba_step_state(state, cfg)
-        return state
+
+        # Monotone acceptance guard: a correction must not degrade the
+        # map's internal consistency. The reference trusts CorrectLoop
+        # unconditionally; a residual error in the measured loop
+        # transform (or an obs-starved GBA) can instead bend a good
+        # trajectory — reverting in that case is strictly safer than
+        # shipping the bend (no reference analogue; engineering
+        # hardening, cf. the BA monotonicity guard in mapping/ba.py).
+        # (Only meaningful after GBA: the pose-graph + rigid-carry state
+        # is intentionally mid-refinement — observation consistency is
+        # restored by the bundle adjustment, so without it the metric
+        # would reject every genuine correction.)
+        if cfg.loop.correction_guard and cfg.loop.run_global_ba:
+            err_after = map_median_reproj_error(state, cfg)
+            if not np.isfinite(err_after) or err_after > (
+                cfg.loop.correction_guard_slack * err_before + 0.1
+            ):
+                return state0, False
+        return state, True

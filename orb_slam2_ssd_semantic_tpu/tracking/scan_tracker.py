@@ -167,7 +167,7 @@ def _detect_loop(state: SlamState, frame, word_db, val_db, cons,
     old_enough = (uid_cur - uid) >= cfg.loop.min_kfs_before_loop
     cand = (
         db_ok & old_enough & (covrow < cfg.map.covis_weight_threshold)
-        & (scores >= jnp.maximum(min_score, 0.015))
+        & (scores >= jnp.maximum(min_score, cfg.loop.min_abs_score))
     )
 
     # Consistency over uid-neighborhoods: candidate f continues a chain
@@ -183,10 +183,15 @@ def _detect_loop(state: SlamState, frame, word_db, val_db, cons,
     return word_db, val_db, cons_new, loop_cand
 
 
+# NOTE: `carry` is deliberately NOT donated: the segmented runner
+# (tracking/segmented.py) dispatches segment s+1 speculatively while the
+# host inspects segment s's stats, and must be able to REUSE the
+# pre-segment carry when a mid-run loop correction invalidates the
+# speculation. The carry is ~15 MB — donation saves nothing that
+# matters against the 16 GB HBM.
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "voc_k", "voc_depth", "voc_words", "use_flow"),
-    donate_argnames=("carry",),
 )
 def track_sequence_scan(carry: ScanCarry, grays: jnp.ndarray, depths: jnp.ndarray,
                         cfg: SlamConfig, vocab: VocabArrays | None = None,

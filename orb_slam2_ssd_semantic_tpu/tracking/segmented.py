@@ -36,10 +36,27 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
 from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
+
+
+@jax.jit
+def _pack_segment(T_seg, stats_seg, uid, valid, fid):
+    """One packed device->host transfer per segment: poses, stats, and
+    the keyframe snapshot. On remote-attached hardware every fetch costs
+    ~30-50 ms of tunnel latency; five small fetches per segment were
+    ~8% of the whole run (r4 measurement)."""
+    return jnp.concatenate([
+        T_seg.reshape(-1),
+        stats_seg.astype(jnp.float32).reshape(-1),
+        uid.astype(jnp.float32),
+        valid.astype(jnp.float32),
+        fid.astype(jnp.float32),
+    ])
 
 
 class SegmentedResult(NamedTuple):
@@ -51,6 +68,7 @@ class SegmentedResult(NamedTuple):
     n_loop_events: int  # flagged candidate events (pre-verification)
     scan_s: float  # wall time inside the jitted segment scans
     correct_s: float  # wall time inside verification+correction
+    kf_pose_at_insert: dict  # uid -> (frame_idx, tracked pose at insert)
 
 
 def resolve_trajectory(result: SegmentedResult) -> np.ndarray:
@@ -62,13 +80,19 @@ def resolve_trajectory(result: SegmentedResult) -> np.ndarray:
     T_kf = np.asarray(carry.state.kfs.T_cw)
     by_uid = {int(u): T_kf[i] for i, u in enumerate(uid) if valid[i] and u >= 0}
     uids_sorted = sorted(by_uid)
+    insert = result.kf_pose_at_insert
 
     def kf_pose(u: int) -> np.ndarray:
         if u in by_uid:
             return by_uid[u]
-        # Culled/evicted reference: nearest earlier live keyframe.
+        # Culled/evicted reference: chain through the nearest earlier
+        # SURVIVING keyframe using both keyframes' insertion poses:
+        # T_u_final ~ (T_u_ins @ inv(T_a_ins)) @ T_a_final.
         earlier = [x for x in uids_sorted if x <= u]
-        return by_uid[earlier[-1] if earlier else uids_sorted[0]]
+        a = earlier[-1] if earlier else uids_sorted[0]
+        if u in insert and a in insert:
+            return (insert[u][1] @ np.linalg.inv(insert[a][1])) @ by_uid[a]
+        return by_uid[a]
 
     out = []
     for ref_uid, T_rel in result.traj:
@@ -87,12 +111,15 @@ def track_sequence_segmented(
     voc_words: int = 1000,
     segment_len: int = 48,
     loop_closer: LoopCloser | None = None,
+    use_flow: bool = False,
     verbose: bool = False,
 ) -> SegmentedResult:
     """g_dev (N, H, W) uint8 grays, d_dev (N, H, W) uint16 mm depths on
     device. N must satisfy (N - 1) % segment_len == 0 (frame 0 seeds
     init_scan; every segment then has identical static shapes -> one
-    compile)."""
+    compile). `use_flow` runs the per-frame optical-flow dynamic mask
+    inside every segment scan (the reference's pre-tracking Flow stage,
+    Tracking.cc:688-719)."""
     n = g_dev.shape[0]
     assert (n - 1) % segment_len == 0, (n, segment_len)
     n_seg = (n - 1) // segment_len
@@ -103,6 +130,8 @@ def track_sequence_segmented(
     if va is not None:
         kw = dict(vocab=va, voc_k=voc_k, voc_depth=voc_depth,
                   voc_words=voc_words)
+    if use_flow:
+        kw["use_flow"] = True
 
     t0 = time.perf_counter()
     carry = scan_tracker.init_scan(
@@ -112,22 +141,60 @@ def track_sequence_segmented(
     T_parts: list = [np.eye(4, dtype=np.float32)[None]]
     stats_parts: list = []
     traj: list = [(0, np.eye(4, dtype=np.float32))]
+    # uid -> (frame_idx, tracked pose at insertion) for every keyframe
+    # ever seen live (survives culling; resolution anchors culled refs
+    # on the nearest earlier surviving keyframe).
+    kf_pose_at_insert: dict = {0: (0, np.eye(4, dtype=np.float32))}
     corrections: list = []
     n_loop_events = 0
     scan_s = 0.0
     correct_s = 0.0
     last_corrected_uid = -(10**9)
 
-    for s in range(n_seg):
+    def dispatch(carry_in, s):
+        """Launch segment s asynchronously; returns (carry_after,
+        packed device array). No host sync happens here."""
+        lo = 1 + s * segment_len
+        hi = lo + segment_len
+        kw2 = dict(kw)
+        if use_flow:
+            kw2["prev_grays"] = g_dev[lo - 1:hi - 1]
+        carry_after, T_seg, stats_seg = scan_tracker.track_sequence_scan(
+            carry_in, g_dev[lo:hi], d_dev[lo:hi], cfg, **kw2
+        )
+        return carry_after, _pack_segment(
+            T_seg, stats_seg, carry_after.state.kfs.uid,
+            carry_after.state.kfs.valid, carry_after.state.kfs.frame_id,
+        )
+
+    # Speculative pipeline: segment s+1 is dispatched (device-async, on
+    # the un-inspected carry) BEFORE segment s's packed stats are
+    # fetched, so the host round trip hides behind device compute. A
+    # mid-run correction invalidates the speculation; the segment is
+    # then re-dispatched from the corrected carry (rare, and the cost is
+    # one segment of device time).
+    carry_after, packed_dev = dispatch(carry, 0)
+    pending = (0, carry_after, packed_dev)
+    while pending is not None:
+        s, carry_after, packed_dev = pending
+        if s + 1 < n_seg:
+            next_after, next_packed = dispatch(carry_after, s + 1)
+            pending = (s + 1, next_after, next_packed)
+        else:
+            pending = None
         lo = 1 + s * segment_len
         hi = lo + segment_len
         t_scan = time.perf_counter()
-        carry, T_seg, stats_seg = scan_tracker.track_sequence_scan(
-            carry, g_dev[lo:hi], d_dev[lo:hi], cfg, **kw
-        )
-        T_host = np.asarray(T_seg)
-        stats_host = np.asarray(stats_seg)
+        packed = np.asarray(packed_dev)
+        S = segment_len
+        F = carry_after.state.kfs.uid.shape[0]
+        T_host = packed[:S * 16].reshape(S, 4, 4)
+        stats_host = packed[S * 16:S * 20].reshape(S, 4)
+        k_uid = packed[S * 20:S * 20 + F].astype(np.int64)
+        k_valid = packed[S * 20 + F:S * 20 + 2 * F] > 0.5
+        k_fid = packed[S * 20 + 2 * F:S * 20 + 3 * F].astype(np.int64)
         scan_s += time.perf_counter() - t_scan
+        carry = carry_after
         T_parts.append(T_host)
         stats_parts.append(stats_host)
         if verbose:
@@ -136,23 +203,28 @@ def track_sequence_segmented(
                   f"n_kfs={int(np.asarray(carry.state.n_kfs))} "
                   f"inl_min={int(stats_host[:, 1].min())}")
 
-        # Keyframe-relative trajectory records for this segment, against
-        # the CURRENT keyframe snapshot (refined by any BA so far).
-        kfs = carry.state.kfs
-        k_uid = np.asarray(kfs.uid)
-        k_valid = np.asarray(kfs.valid)
-        k_fid = np.asarray(kfs.frame_id)
-        k_T = np.asarray(kfs.T_cw)
+        # Keyframe-relative trajectory records (SaveTrajectoryTUM
+        # semantics, System.cc:476-502): T_rel is measured at TRACK time
+        # against the reference keyframe's INSERTION pose — which, with
+        # reanchor_on_kf=False, is exactly the tracked pose at the
+        # keyframe's own frame. Mixing in later BA-refined poses here
+        # (fetch-time poses) contaminates T_rel with the refinement
+        # delta and systematically degrades the resolved trajectory.
         live = k_valid & (k_uid >= 0)
-        fid_live = np.where(live, k_fid, -1)
-        order = np.argsort(fid_live)
-        fids_sorted = fid_live[order]
+        for slot in np.nonzero(live)[0]:
+            u, f = int(k_uid[slot]), int(k_fid[slot])
+            if u not in kf_pose_at_insert and lo <= f < hi:
+                kf_pose_at_insert[u] = (f, T_host[f - lo])
+        known = np.array(sorted(kf_pose_at_insert))
+        uid_frames = np.array([kf_pose_at_insert[u][0] for u in known])
+        order = np.argsort(uid_frames)
+        known, uid_frames = known[order], uid_frames[order]
         for i in range(segment_len):
             f = lo + i
-            j = np.searchsorted(fids_sorted, f, side="right") - 1
-            slot = int(order[max(j, int((fids_sorted >= 0).argmax()))])
-            T_rel = T_host[i] @ np.linalg.inv(k_T[slot])
-            traj.append((int(k_uid[slot]), T_rel))
+            j = max(int(np.searchsorted(uid_frames, f, side="right")) - 1, 0)
+            ref_uid = int(known[j])
+            T_rel = T_host[i] @ np.linalg.inv(kf_pose_at_insert[ref_uid][1])
+            traj.append((ref_uid, T_rel))
 
         # ---- mid-run loop verification + correction ------------------
         cands = stats_host[:, 3]
@@ -162,9 +234,7 @@ def track_sequence_segmented(
             continue
         t_corr = time.perf_counter()
         state = carry.state
-        valid = np.asarray(state.kfs.valid)
-        fid = np.asarray(state.kfs.frame_id)
-        uid = np.asarray(state.kfs.uid)
+        valid, fid, uid = k_valid, k_fid, k_uid
         corrected = False
         for i in events:
             cand = int(cands[i])
@@ -181,7 +251,12 @@ def track_sequence_segmented(
             ok, T_ji, n_inl = lc._estimate_loop_transform(state, kf, cand)
             if not ok:
                 continue
-            state_new = lc._correct(state, kf, cand, T_ji)
+            state_new, accepted = lc._correct(state, kf, cand, T_ji)
+            if not accepted:
+                if verbose:
+                    print(f"# segmented: correction at frame {lo + int(i)} "
+                          "rejected by consistency guard")
+                continue
             Tn = np.asarray(state_new.kfs.T_cw)
             if not np.isfinite(Tn[np.asarray(state_new.kfs.valid)]).all():
                 if verbose:
@@ -215,9 +290,15 @@ def track_sequence_segmented(
                 # geometry changed under the counters.
                 cons_count=jnp.zeros_like(carry.cons_count),
             )
+            # The speculative next segment ran on the UNCORRECTED carry;
+            # re-dispatch it from the corrected one.
+            if pending is not None:
+                next_after, next_packed = dispatch(carry, pending[0])
+                pending = (pending[0], next_after, next_packed)
         correct_s += time.perf_counter() - t_corr
 
     T_all = np.concatenate(T_parts)
     stats = np.concatenate(stats_parts) if stats_parts else np.zeros((0, 4))
     return SegmentedResult(carry, T_all, stats, traj, corrections,
-                           n_loop_events, scan_s, correct_s)
+                           n_loop_events, scan_s, correct_s,
+                           kf_pose_at_insert)
