@@ -65,8 +65,15 @@ def _cfg():
 def _run(n_kf, drift_total, revisit=True):
     cfg = _cfg()
     room = BoxRoom(seed=3, cam=cfg.camera)
-    n_pose = n_kf if revisit else 2 * n_kf  # open arc when not revisiting
-    poses = _circle_poses(n_pose)[:n_kf]
+    if revisit:
+        # 1.3 laps: the last ~30% of keyframes RE-TRAVERSE the start of
+        # the circle — several consecutive revisit keyframes, as the
+        # consecutive-consistency rule requires (a single end-of-lap
+        # brush past the start can never build a 2-chain).
+        n_pose = max(int(n_kf / 1.3), 4)
+        poses = [_circle_poses(n_pose)[i % n_pose] for i in range(n_kf)]
+    else:
+        poses = _circle_poses(2 * n_kf)[:n_kf]  # open arc
     state = empty_state(cfg)
     lc = LoopCloser(cfg)
     closed_at = []
@@ -92,17 +99,25 @@ def _run(n_kf, drift_total, revisit=True):
         # (SearchInNeighbors stand-in for full local mapping).
         if i > 0:
             state = fuse_map_points(state, cfg)
-        if i == n_kf - 1:
-            err_before = float(np.linalg.norm(
-                np.asarray(state.kfs.T_cw[slot])[:3, 3] - T_cw_true[:3, 3]
-            ))
+        e_pre = float(np.linalg.norm(
+            np.asarray(state.kfs.T_cw[slot])[:3, 3] - T_cw_true[:3, 3]
+        ))
         state, closed = lc.on_keyframe(state, slot)
         if closed:
             closed_at.append(i)
-        if i == n_kf - 1:
-            err_after = float(np.linalg.norm(
-                np.asarray(state.kfs.T_cw[slot])[:3, 3] - T_cw_true[:3, 3]
-            ))
+            # The correction is judged at the closure keyframe: its
+            # drifted insertion pose vs its pose after CorrectLoop
+            # (keyframes inserted later get fresh injected drift by
+            # construction, so the sequence end is not the place to
+            # measure).
+            if err_before is None:
+                err_before = e_pre
+                err_after = float(np.linalg.norm(
+                    np.asarray(state.kfs.T_cw[slot])[:3, 3]
+                    - T_cw_true[:3, 3]
+                ))
+    if err_before is None and n_kf > 0:
+        err_before = err_after = e_pre
     return closed_at, err_before, err_after
 
 
