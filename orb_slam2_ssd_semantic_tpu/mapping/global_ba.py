@@ -479,6 +479,30 @@ def problem_from_state(state: SlamState, cfg: SlamConfig, fixed_kf=None) -> Glob
     )
 
 
+@jax.jit
+def _write_back(state: SlamState, prob, res) -> SlamState:
+    """Apply a GlobalBAResult to the SlamState: refined poses/points +
+    outlier-observation pruning (RunGlobalBundleAdjustment write-back,
+    LoopClosing.cc:826-940 + the local-BA erase step)."""
+    F, K = state.kfs.kp_point.shape
+    P = state.points.pos.shape[0]
+    kfs = state.kfs._replace(
+        T_cw=jnp.where(
+            (state.kfs.valid & ~prob.fixed)[:, None, None], res.T_cw, state.kfs.T_cw
+        )
+    )
+    pts = state.points._replace(
+        pos=jnp.where(state.points.valid[:, None], res.points, state.points.pos)
+    )
+    pruned = (prob.obs_valid & ~res.inlier).reshape(F, K)
+    kp_point = jnp.where(pruned, -1, state.kfs.kp_point)
+    kfs = kfs._replace(kp_point=kp_point)
+    pruned_ids = jnp.where(pruned.reshape(-1), prob.obs_pt, P)
+    n_obs = pts.n_obs.at[pruned_ids].add(-1, mode="drop")
+    pts = pts._replace(n_obs=jnp.maximum(n_obs, 0))
+    return state._replace(points=pts, kfs=kfs)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "cg_iters"))
 def global_ba_step_state(state: SlamState, cfg: SlamConfig, cg_iters: int = 20) -> SlamState:
     """Run global BA over the whole SlamState and write back refined
@@ -491,23 +515,42 @@ def global_ba_step_state(state: SlamState, cfg: SlamConfig, cg_iters: int = 20) 
         prob, cfg.camera, cfg.optimizer, cg_iters,
         obs_per_kf=state.kfs.kp_point.shape[1],
     )
+    return _write_back(state, prob, res)
 
-    F, K = state.kfs.kp_point.shape
-    P = state.points.pos.shape[0]
-    kfs = state.kfs._replace(
-        T_cw=jnp.where(
-            (state.kfs.valid & ~prob.fixed)[:, None, None], res.T_cw, state.kfs.T_cw
-        )
-    )
-    pts = state.points._replace(
-        pos=jnp.where(state.points.valid[:, None], res.points, state.points.pos)
-    )
 
-    # Prune outlier observations.
-    pruned = (prob.obs_valid & ~res.inlier).reshape(F, K)
-    kp_point = jnp.where(pruned, -1, state.kfs.kp_point)
-    kfs = kfs._replace(kp_point=kp_point)
-    pruned_ids = jnp.where(pruned.reshape(-1), prob.obs_pt, P)
-    n_obs = pts.n_obs.at[pruned_ids].add(-1, mode="drop")
-    pts = pts._replace(n_obs=jnp.maximum(n_obs, 0))
-    return state._replace(points=pts, kfs=kfs)
+_DIST_GBA_CACHE: dict = {}
+
+
+def global_ba_step_state_sharded(state: SlamState, cfg: SlamConfig, mesh,
+                                 cg_iters: int = 20) -> SlamState:
+    """Mesh-mode global BA: the same step as `global_ba_step_state`, but
+    the O(M) observation reductions run sharded over the mesh's `pt`
+    axis (parallel/dist_ba.make_distributed_global_ba) — the engine path
+    for `SlamSystem(mesh=...)` (SURVEY.md §2.6 P12: everything wired
+    into ONE runtime, System.cc:164-197, not a standalone demo)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from orb_slam2_ssd_semantic_tpu.parallel import dist_ba
+    from orb_slam2_ssd_semantic_tpu.parallel.mesh import PT_AXIS
+
+    key = (id(mesh), cfg, cg_iters)
+    run = _DIST_GBA_CACHE.get(key)
+    if run is None:
+        run = dist_ba.make_distributed_global_ba(
+            mesh, cfg.camera, cfg.optimizer, cg_iters)
+        _DIST_GBA_CACHE[key] = run
+    prob = problem_from_state(state, cfg)
+    n = mesh.shape[PT_AXIS]
+    M = prob.obs_kf.shape[0]
+    assert M % n == 0, (M, n)
+    sh = NamedSharding(mesh, P_(PT_AXIS))
+    prob_sh = prob._replace(
+        obs_kf=jax.device_put(prob.obs_kf, sh),
+        obs_pt=jax.device_put(prob.obs_pt, sh),
+        obs_uvr=jax.device_put(prob.obs_uvr, sh),
+        inv_sigma2=jax.device_put(prob.inv_sigma2, sh),
+        is_stereo=jax.device_put(prob.is_stereo, sh),
+        obs_valid=jax.device_put(prob.obs_valid, sh),
+    )
+    res = run(prob_sh)
+    return _write_back(state, prob, res)

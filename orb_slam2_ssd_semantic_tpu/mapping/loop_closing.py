@@ -76,11 +76,18 @@ def _map_median_reproj_error_jit(state: SlamState, cfg: SlamConfig):
 
 
 class LoopCloser:
-    def __init__(self, cfg: SlamConfig, vocab=None):
+    def __init__(self, cfg: SlamConfig, vocab=None, mesh=None):
         """`vocab`: optionally pass a preloaded io/vocabulary.Vocabulary
-        to skip the disk load (fresh per-run closers in benches)."""
+        to skip the disk load (fresh per-run closers in benches).
+        `mesh`: a jax.sharding.Mesh with a `pt`/`kf` axis routes the
+        database scoring through the kf-sharded L1 kernel and the
+        post-correction global BA through the observation-sharded
+        distributed reduction — the engine-integrated multi-chip mode
+        (SlamSystem(mesh=...))."""
         self.cfg = cfg
         self._preloaded_vocab = vocab
+        self.mesh = mesh
+        self._sharded_scores = None
         F = cfg.map.max_keyframes
         # Consistency chains: [(covis_group_set, consecutive_count)] from
         # the previous keyframe's candidates (LoopClosing.cc:200-290
@@ -138,9 +145,7 @@ class LoopCloser:
             vals = voc.bow_columns(words, self._idf)
             self.word_db = self.word_db.at[kf_id].set(words)
             self.val_db = self.val_db.at[kf_id].set(vals)
-            return np.asarray(voc.l1_scores(
-                words, vals, self.word_db, self.val_db, self.vocab.n_words
-            ))
+            return self._score_db(words, vals)
         vec = pr.bow_vector(desc, valid)
         self.bow_db = self.bow_db.at[kf_id].set(vec)
         return np.asarray(pr.bow_scores(vec, self.bow_db))
@@ -153,11 +158,33 @@ class LoopCloser:
 
             words = voc.quantize(self.vocab, desc, valid)
             vals = voc.bow_columns(words, self._idf)
-            return np.asarray(voc.l1_scores(
-                words, vals, self.word_db, self.val_db, self.vocab.n_words
-            ))
+            return self._score_db(words, vals)
         vec = pr.bow_vector(desc, valid)
         return np.asarray(pr.bow_scores(vec, self.bow_db))
+
+    def _score_db(self, words, vals) -> np.ndarray:
+        """Query the keyframe BoW database. With a mesh, the (F, N)
+        database rows are kf-sharded and each device scores its slice
+        (parallel/dist_bow.make_sharded_l1_scores) — the engine's
+        multi-chip KeyFrameDatabase query."""
+        from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+
+        if self.mesh is not None:
+            if self._sharded_scores is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P_
+
+                from orb_slam2_ssd_semantic_tpu.parallel import dist_bow
+                from orb_slam2_ssd_semantic_tpu.parallel.mesh import KF_AXIS
+
+                self._sharded_scores = dist_bow.make_sharded_l1_scores(
+                    self.mesh, self.vocab.n_words)
+                sh = NamedSharding(self.mesh, P_(KF_AXIS))
+                self.word_db = jax.device_put(self.word_db, sh)
+                self.val_db = jax.device_put(self.val_db, sh)
+            return np.asarray(
+                self._sharded_scores(words, vals, self.word_db, self.val_db))
+        return np.asarray(voc.l1_scores(
+            words, vals, self.word_db, self.val_db, self.vocab.n_words))
 
     def on_keyframe(self, state: SlamState, kf_id: int):
         """Update the BoW database and attempt loop detection/closure.
@@ -541,11 +568,18 @@ class LoopCloser:
         # RunGlobalBundleAdjustment 826: 10 iterations + map-wide
         # write-back).
         if cfg.loop.run_global_ba:
-            from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
-                global_ba_step_state,
-            )
+            if self.mesh is not None:
+                from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+                    global_ba_step_state_sharded,
+                )
 
-            state = global_ba_step_state(state, cfg)
+                state = global_ba_step_state_sharded(state, cfg, self.mesh)
+            else:
+                from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+                    global_ba_step_state,
+                )
+
+                state = global_ba_step_state(state, cfg)
 
         # Monotone acceptance guard: a correction must not degrade the
         # map's internal consistency. The reference trusts CorrectLoop

@@ -66,6 +66,27 @@ def make_sharded_detect(mesh, max_candidates: int = 4):
     return jax.jit(mapped)
 
 
+def make_sharded_l1_scores(mesh, n_words: int):
+    """Keyframe-sharded DBoW2 L1 scoring — the ENGINE's database-query
+    kernel for `SlamSystem(mesh=...)`: db_words/db_vals (F, N) sharded
+    over KF_AXIS (rows = keyframes), query columns replicated. Each
+    shard scores its local database slice (io/vocabulary.l1_scores) —
+    the output (F,) score row comes back kf-sharded and is gathered on
+    fetch. Exact-parity with the single-device scorer is pinned in
+    tests/test_mesh_engine.py."""
+    from orb_slam2_ssd_semantic_tpu.io import vocabulary as voc
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=P(KF_AXIS),
+    )
+    def score(q_words, q_vals, db_words, db_vals):
+        return voc.l1_scores(q_words, q_vals, db_words, db_vals, n_words)
+
+    return jax.jit(score)
+
+
 def make_sharded_bow_vectors(mesh, bow_fn):
     """Batch ``bow_fn(desc, valid) -> (K,)`` over keyframes sharded on
     KF_AXIS: descriptors (F, N, 8) in, (F, K) BoW database out, both

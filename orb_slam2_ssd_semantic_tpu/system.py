@@ -23,13 +23,26 @@ class SlamSystem:
         enable_semantics: bool = False,
         enable_dense_map: bool = False,
         detector_params=None,
+        mesh=None,
     ):
+        """`mesh`: a `jax.sharding.Mesh` with (`kf`, `pt`) axes switches
+        the engine's batch subsystems to their sharded implementations —
+        post-loop global BA runs the observation-sharded distributed
+        reduction (parallel/dist_ba.py), the keyframe BoW database is
+        kf-sharded with sharded queries (parallel/dist_bow.py), and
+        dense-grid occupancy insertion runs over X-slabs
+        (parallel/dist_occupancy.py). The per-frame tracking hot path
+        stays single-device by design (it is latency-bound at 30 Hz;
+        the map-scale subsystems are what grow with trajectory length —
+        SURVEY.md §2.6 P12, §7 stage 5). Single-device parity is pinned
+        by tests/test_mesh_engine.py."""
         import jax.numpy as jnp
 
         from orb_slam2_ssd_semantic_tpu.tracking.tracker import Tracker
 
         self.cfg = cfg or SlamConfig()
-        self.tracker = Tracker(self.cfg)
+        self.mesh = mesh
+        self.tracker = Tracker(self.cfg, mesh=mesh)
         self.localization_only = False
 
         self.detector = None
@@ -42,8 +55,30 @@ class SlamSystem:
             self.object_db = empty_db(self.cfg.semantic.max_objects)
 
         self.grid = None
+        self._sharded_grid = None
         if enable_dense_map:
-            if self.cfg.dense.unbounded:
+            if mesh is not None and not self.cfg.dense.unbounded:
+                # Mesh mode: single working volume sharded into X-slabs
+                # over the pt axis; inserts run shard-local with no
+                # cross-slab traffic (parallel/dist_occupancy.py).
+                from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
+                    empty_grid,
+                )
+                from orb_slam2_ssd_semantic_tpu.parallel import (
+                    dist_occupancy,
+                )
+
+                ref = empty_grid(resolution=self.cfg.dense.resolution)
+                dims = tuple(int(d) for d in ref.log_odds.shape)
+                origin = tuple(float(o) for o in np.asarray(ref.origin))
+                lo, meta = dist_occupancy.make_sharded_grid(
+                    mesh, dims, self.cfg.dense.resolution, origin)
+                insert = dist_occupancy.make_sharded_insert(
+                    mesh, self.cfg.dense, dims, origin)
+                self._sharded_grid = dict(
+                    log_odds=lo, meta=meta, insert=insert, ref=ref)
+                self.grid = ref  # dims/origin template for save paths
+            elif self.cfg.dense.unbounded:
                 from orb_slam2_ssd_semantic_tpu.dense.occupancy import BlockGridMap
 
                 self.grid = BlockGridMap(
@@ -264,7 +299,13 @@ class SlamSystem:
             origin = jnp.asarray(T_wc[:3, 3])
             from orb_slam2_ssd_semantic_tpu.dense.occupancy import BlockGridMap
 
-            if isinstance(self.grid, BlockGridMap):
+            if self._sharded_grid is not None:
+                sg = self._sharded_grid
+                sg["log_odds"] = sg["insert"](
+                    sg["log_odds"], origin, pts, valid,
+                    is_ground,
+                )
+            elif isinstance(self.grid, BlockGridMap):
                 self.grid.insert_scan(
                     origin, pts, valid, colors=colors, carve_only=is_ground
                 )
@@ -349,6 +390,13 @@ class SlamSystem:
         )
 
         assert self.grid is not None, "dense map not enabled"
+        if self._sharded_grid is not None:
+            # Gather the sharded slabs into the dense-grid container.
+            sg = self._sharded_grid
+            grid = sg["ref"]._replace(
+                log_odds=np.asarray(sg["log_odds"]))
+            save_grid(path, grid, self.cfg.dense)
+            return
         if isinstance(self.grid, BlockGridMap):
             self.grid.save(path)
         else:

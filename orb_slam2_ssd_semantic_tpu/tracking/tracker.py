@@ -654,10 +654,11 @@ class Tracker:
     """Host-side per-frame sequencing (the reference's Tracking state
     machine, minus threads). Owns the SlamState and the motion model."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, mesh=None):
         from orb_slam2_ssd_semantic_tpu.utils.metrics import Metrics
 
         self.cfg = cfg
+        self.mesh = mesh
         self.metrics = Metrics()
         self.state = empty_state(cfg)
         self.last_frame: Frame | None = None
@@ -676,7 +677,7 @@ class Tracker:
         if cfg.loop.enabled or cfg.loop.enable_relocalization:
             from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
 
-            self.loop_closer = LoopCloser(cfg)
+            self.loop_closer = LoopCloser(cfg, mesh=mesh)
         else:
             self.loop_closer = None
         self.n_loops_closed = 0

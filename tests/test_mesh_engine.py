@@ -1,0 +1,118 @@
+"""Mesh-mode ENGINE integration (VERDICT r3 #4): `SlamSystem(mesh=...)`
+runs end-to-end on the 8-virtual-device CPU mesh with its batch
+subsystems sharded — post-loop global BA over observations
+(parallel/dist_ba.py), the keyframe BoW database + queries over the kf
+axis (parallel/dist_bow.py), and dense-grid occupancy insertion over
+X-slabs (parallel/dist_occupancy.py) — and matches the single-device
+engine. Reference: everything wired into ONE runtime
+(perfect/src/System.cc:164-197); the sharded kernels are engine paths,
+not standalone demos."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.eval.ate import evaluate_ate_xyz
+from orb_slam2_ssd_semantic_tpu.io.synthetic import SyntheticSequence
+from orb_slam2_ssd_semantic_tpu.parallel.mesh import make_mesh
+from orb_slam2_ssd_semantic_tpu.system import SlamSystem
+
+
+def _cfg():
+    base = SlamConfig()
+    return dataclasses.replace(
+        base,
+        dense=dataclasses.replace(base.dense, unbounded=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def runs():
+    cfg = _cfg()
+    seq = SyntheticSequence(n_frames=14)
+    mesh = make_mesh(n_kf=1, n_pt=8)  # pt-axis mesh (GBA/occupancy)
+    out = {}
+    for tag, m in (("single", None), ("mesh", mesh)):
+        sys_ = SlamSystem(cfg, enable_dense_map=True, mesh=m)
+        for i in range(len(seq)):
+            stamp, rgb, depth = seq[i]
+            sys_.track_rgbd(rgb, depth, stamp)
+        out[tag] = sys_
+    return seq, out
+
+
+def test_mesh_engine_tracks_with_parity(runs):
+    seq, out = runs
+    gt = seq.gt_positions()
+    for tag, sys_ in out.items():
+        assert sys_.status == "OK", tag
+        res = evaluate_ate_xyz(sys_.tracker.camera_positions(), gt)
+        assert res.rmse < 0.02, (tag, res.rmse)
+    # Trajectory parity between modes (same inputs, same math; the
+    # sharded reductions are f32-true like the single-device ones).
+    a = out["single"].tracker.camera_positions()
+    b = out["mesh"].tracker.camera_positions()
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_mesh_occupancy_insertion_is_sharded_and_matches(runs):
+    _, out = runs
+    sys_m = out["mesh"]
+    assert sys_m._sharded_grid is not None, "mesh mode must shard the grid"
+    lo = sys_m._sharded_grid["log_odds"]
+    assert len(lo.sharding.device_set) == 8, "grid not spread over the mesh"
+    # Log-odds parity vs the single-device grid: identical octomap
+    # semantics; the X-slab decomposition may differ on a handful of
+    # DDA slab-boundary voxels (sub-0.5% of touched voxels).
+    lom = np.asarray(lo)
+    los = np.asarray(out["single"].grid.log_odds)
+    touched = (lom != 0) | (los != 0)
+    assert touched.sum() > 10_000, "grid barely touched — scene broken"
+    ndiff = int((np.abs(lom - los) > 1e-5).sum())
+    assert ndiff <= max(1, int(0.005 * touched.sum())), (
+        ndiff, int(touched.sum()))
+
+
+def test_mesh_bow_scoring_parity(runs):
+    _, out = runs
+    sys_m, sys_s = out["mesh"], out["single"]
+    lc_m, lc_s = sys_m.tracker.loop_closer, sys_s.tracker.loop_closer
+    if lc_m.vocab is None:
+        pytest.skip("no trained vocabulary artifact")
+    assert lc_m._sharded_scores is not None, (
+        "mesh mode must route BoW queries through the sharded scorer")
+    state = sys_m.tracker.state
+    kf = int(np.asarray(state.last_kf))
+    s_m = lc_m.frame_scores(state.kfs.desc[kf], state.kfs.kp_valid[kf])
+    s_s = lc_s.frame_scores(state.kfs.desc[kf], state.kfs.kp_valid[kf])
+    np.testing.assert_allclose(s_m, s_s, atol=1e-5)
+
+
+def test_mesh_global_ba_matches_single_device(runs):
+    """The engine's sharded GBA (what a loop correction runs in mesh
+    mode) agrees with the single-device step on the live map state."""
+    _, out = runs
+    from orb_slam2_ssd_semantic_tpu.mapping.global_ba import (
+        global_ba_step_state,
+        global_ba_step_state_sharded,
+    )
+
+    sys_m = out["mesh"]
+    state = sys_m.tracker.state
+    cfg = sys_m.cfg
+    st_s = global_ba_step_state(state, cfg)
+    st_m = global_ba_step_state_sharded(state, cfg, sys_m.mesh)
+    kv = np.asarray(state.kfs.valid)
+    np.testing.assert_allclose(
+        np.asarray(st_s.kfs.T_cw)[kv], np.asarray(st_m.kfs.T_cw)[kv],
+        atol=1e-3,
+    )
+    pv = np.asarray(state.points.valid)
+    np.testing.assert_allclose(
+        np.asarray(st_s.points.pos)[pv], np.asarray(st_m.points.pos)[pv],
+        atol=1e-3,
+    )
