@@ -138,11 +138,23 @@ def insert_scan(
     grid = grid._replace(log_odds=lo)
 
     # ---- color accumulation (averageNodeColor equivalent) -----------------
+    # Per-scan DEDUP like the log-odds above: exactly ONE color sample
+    # per voxel per scan (the first ray's, via scatter-min over ray
+    # index), matching octomap's one averageNodeColor call per updated
+    # node per insertion (MapDrawer.cc:1009). Without it, a voxel
+    # covered by k rays in one scan biased the running mean k x toward
+    # that scan (VERDICT r3 weak #6).
     if colors is not None:
+        N = e_flat.shape[0]
+        first = jnp.full((V + 1,), N, jnp.int32).at[e_flat].min(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        )
+        is_first = e_ok & (first[e_flat] == jnp.arange(N, dtype=jnp.int32))
+        e_once = jnp.where(is_first, e_flat, V)
         csum = grid.color.reshape(-1, 3)
         cn = grid.n_color.reshape(-1)
-        csum = csum.at[e_flat].add(colors, mode="drop")
-        cn = cn.at[e_flat].add(1.0, mode="drop")
+        csum = csum.at[e_once].add(colors, mode="drop")
+        cn = cn.at[e_once].add(1.0, mode="drop")
         grid = grid._replace(
             color=csum.reshape(X, Y, Z, 3), n_color=cn.reshape(X, Y, Z)
         )

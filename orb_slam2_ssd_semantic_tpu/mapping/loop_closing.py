@@ -510,7 +510,12 @@ class LoopCloser:
             )
 
             # Spanning-chain order (uid-sorted live slots) drives the
-            # block-tridiagonal PCR preconditioner.
+            # block-tridiagonal PCR preconditioner. Consecutive-uid
+            # keyframes usually share an odometry edge; where culling
+            # leaves uid gaps the corresponding off-diagonal block is
+            # zero and the preconditioner degrades gracefully toward
+            # block-Jacobi there (correctness unaffected; cg_iters may
+            # need raising on heavily-culled maps).
             order = np.argsort(
                 np.where(valid_np & (uid_np >= 0), uid_np, 2 ** 30),
                 kind="stable",

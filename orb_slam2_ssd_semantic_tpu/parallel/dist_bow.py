@@ -40,7 +40,14 @@ def make_sharded_detect(mesh, max_candidates: int = 4):
         # Local slice: (F/n, K) @ (K,) -> (F/n,) scores on this shard.
         s = db_vecs @ query_vec
         s = jnp.where(db_valid & (~exclude), s, -1.0)
-        loc_s, loc_i = jax.lax.top_k(s, max_candidates)
+        # Small local slices (F/n < C, e.g. tiny maps on large meshes):
+        # take what exists and pad to C with -1 sentinels.
+        k_local = min(max_candidates, s.shape[0])
+        loc_s, loc_i = jax.lax.top_k(s, k_local)
+        if k_local < max_candidates:
+            pad = max_candidates - k_local
+            loc_s = jnp.concatenate([loc_s, jnp.full((pad,), -1.0, loc_s.dtype)])
+            loc_i = jnp.concatenate([loc_i, jnp.zeros((pad,), loc_i.dtype)])
         # Globalize local indices: shard d owns rows [d*F/n, (d+1)*F/n).
         shard = jax.lax.axis_index(KF_AXIS)
         n_local = s.shape[0]

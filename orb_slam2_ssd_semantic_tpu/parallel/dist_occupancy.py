@@ -12,9 +12,10 @@ each shard sees every ray and rasterizes the part that lands in its
 volume. Communication per scan is exactly the replicated input
 broadcast; the voxel state never moves.
 
-This composes with the block table (dense/occupancy.BlockGridMap) by
-sharding each block's interior; at reference scales a single sharded
-slab grid already covers the working volume.
+Scope: the SINGLE working volume is sharded. The unbounded
+BlockGridMap is not sharded here — at reference scales one slab grid
+covers the working volume, and a sharded block table would need a
+distributed hash/ownership protocol this engine does not implement.
 """
 
 from __future__ import annotations

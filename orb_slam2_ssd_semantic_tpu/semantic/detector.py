@@ -177,10 +177,20 @@ class Detector:
 
     def detect_batch(self, rgbs) -> list:
         """One device dispatch for the whole queue (vs a per-image loop:
-        each call through a remote relay costs ~30 ms of latency)."""
+        each call through a remote relay costs ~30 ms of latency).
+
+        All queue images must share one (H, W) shape (the keyframe
+        queue always does — one camera). Note the batched path runs the
+        conv stack in bfloat16 while single-image __call__ runs f32: a
+        detection whose score sits exactly at det_score_threshold can
+        flip validity between the two paths."""
         if len(rgbs) == 0:
             return []
-        h, w = np.asarray(rgbs[0]).shape[:2]
+        shapes = {np.asarray(r).shape[:2] for r in rgbs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"detect_batch requires uniform image shapes, got {shapes}")
+        h, w = next(iter(shapes))
         arr = jnp.asarray(np.stack([np.asarray(r) for r in rgbs]))
         dd = self._detect_batched(self.params, arr, h, w)
         n = arr.shape[0]

@@ -70,6 +70,17 @@ class SlamSystem:
 
                 ref = empty_grid(resolution=self.cfg.dense.resolution)
                 dims = tuple(int(d) for d in ref.log_odds.shape)
+                n_sh = int(np.prod([d for d in mesh.devices.shape]))
+                if dims[0] % n_sh:
+                    # Pad the X extent up to a slab multiple.
+                    X = ((dims[0] + n_sh - 1) // n_sh) * n_sh
+                    res = self.cfg.dense.resolution
+                    ref = empty_grid(
+                        extent=(X * res, dims[1] * res, dims[2] * res),
+                        resolution=res,
+                        origin=tuple(float(o) for o in np.asarray(ref.origin)),
+                    )
+                    dims = tuple(int(d) for d in ref.log_odds.shape)
                 origin = tuple(float(o) for o in np.asarray(ref.origin))
                 lo, meta = dist_occupancy.make_sharded_grid(
                     mesh, dims, self.cfg.dense.resolution, origin)
