@@ -410,6 +410,14 @@ class DynamicConfig:
     flow_morph_kernel: int = 21
     # Flow runs at half resolution (Flow.cc:21 pyrDown).
     flow_downscale: int = 2
+    # Pyramidal-LK schedule (ops/flow.py): coarse-to-fine levels, box
+    # window, Gauss-Newton iterations per level. 3/7/2 resolves the
+    # reference's half-res operating point (the masks the recovery
+    # gates require) at ~40% of the 3/9/5 cost — each LK iteration is a
+    # full-frame bilinear warp, the dominant per-frame flow cost.
+    flow_levels: int = 3
+    flow_window: int = 7
+    flow_iters: int = 2
     # Geometry DB of last 20 KFs, 5 reference frames chosen by
     # 0.7*dist+0.3*rot score (Geometry.h:19, Geometry.cc:83-127).
     geom_db_size: int = 20

@@ -59,7 +59,8 @@ def flow_dynamic_mask(
     s = cfg.flow_downscale
     ph = image_ops.resize_bilinear(prev_gray, h // s, w // s)
     ch = image_ops.resize_bilinear(cur, h // s, w // s)
-    f = flow_ops.dense_flow(ph, ch)
+    f = flow_ops.dense_flow(ph, ch, levels=cfg.flow_levels,
+                            window=cfg.flow_window, iters=cfg.flow_iters)
     mag2 = flow_ops.flow_magnitude_sq(f)
 
     # Threshold with the reference's floor rule (Flow.cc:33-38).
@@ -106,7 +107,8 @@ def flow_dynamic_mask_fitted(
     hs, ws = h // s, w // s
     ph = image_ops.resize_bilinear(prev_gray, hs, ws)
     ch = image_ops.resize_bilinear(cur_gray, hs, ws)
-    f = flow_ops.dense_flow(ph, ch)  # (hs, ws, 2) prev->cur displacement
+    f = flow_ops.dense_flow(ph, ch, levels=cfg.flow_levels,
+                            window=cfg.flow_window, iters=cfg.flow_iters)
 
     # Grid correspondences for the ego-motion fit.
     gy = jnp.arange(0, hs - grid_stride + 1, grid_stride, dtype=jnp.int32)

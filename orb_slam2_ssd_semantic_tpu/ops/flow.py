@@ -34,26 +34,51 @@ def _warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return vals.reshape(h, w)
 
 
+def _box_filter_batch(stack: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Mean filter over the trailing two axes of a (C, H, W) stack in ONE
+    separable pass. The per-map box_filter calls were the latency floor
+    of the LK iteration on remote-attached hardware (every tiny op is a
+    dispatch); batching the 5 structure-tensor maps into one stacked
+    filter collapses 10 convolution ops into 2."""
+    k = jnp.full((ksize,), 1.0 / ksize, dtype=stack.dtype)
+    pad = ksize // 2
+    x = jnp.pad(stack, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = _conv1d_axis_batch(x, k, axis=1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+    return _conv1d_axis_batch(x, k, axis=2)
+
+
+def _conv1d_axis_batch(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    ksize = k.shape[0]
+    n = x.shape[axis] - ksize + 1
+    out = None
+    for i in range(ksize):
+        sl = jax.lax.slice_in_dim(x, i, i + n, axis=axis)
+        out = sl * k[i] if out is None else out + sl * k[i]
+    return out
+
+
 def _lk_level(prev, cur, flow, window: int, iters: int, eps: float = 1e-4):
     """Iterative LK refinement of `flow` on one pyramid level."""
     gx, gy = image_ops.sobel(prev)
     gx = gx / 8.0  # normalized sobel
     gy = gy / 8.0
+    # The gradient products are flow-independent: filter them ONCE.
+    g_stack = _box_filter_batch(
+        jnp.stack([gx * gx, gx * gy, gy * gy]), window
+    )
+    ixx, ixy, iyy = g_stack[0], g_stack[1], g_stack[2]
+    det = ixx * iyy - ixy * ixy
+    det_safe = jnp.where(jnp.abs(det) < eps, eps, det)
+    ok = (jnp.abs(det) > eps).astype(jnp.float32)
 
     def body(_, flow):
         warped = _warp(cur, flow)
         it = warped - prev
-        # Structure tensor + mismatch vector, window-averaged.
-        ixx = image_ops.box_filter(gx * gx, window)
-        ixy = image_ops.box_filter(gx * gy, window)
-        iyy = image_ops.box_filter(gy * gy, window)
-        ixt = image_ops.box_filter(gx * it, window)
-        iyt = image_ops.box_filter(gy * it, window)
-        det = ixx * iyy - ixy * ixy
-        det_safe = jnp.where(jnp.abs(det) < eps, eps, det)
+        t_stack = _box_filter_batch(jnp.stack([gx * it, gy * it]), window)
+        ixt, iyt = t_stack[0], t_stack[1]
         du = -(iyy * ixt - ixy * iyt) / det_safe
         dv = -(ixx * iyt - ixy * ixt) / det_safe
-        ok = (jnp.abs(det) > eps).astype(jnp.float32)
         step = jnp.stack([du * ok, dv * ok], axis=-1)
         step = jnp.clip(step, -window, window)
         return flow + step

@@ -455,3 +455,8 @@ def rgb_to_gray_np(rgb: np.ndarray) -> np.ndarray:
     from orb_slam2_ssd_semantic_tpu.io.tum import rgb_to_gray
 
     return rgb_to_gray(rgb) if rgb.ndim == 3 else rgb.astype(np.float32)
+
+
+# Reference-name alias: the reference's facade class is `System`
+# (perfect/include/System.h); users porting code can keep the name.
+System = SlamSystem
