@@ -120,11 +120,11 @@ def test_dynamics_degrade_unmasked_tracking(dynamic_runs):
     """The moving objects must measurably corrupt unmasked tracking —
     otherwise the masking results are vacuous (the r2 test's soft gate
     'masked at least as good as unmasked' passed even with inert
-    masks). Measured: ~2.2x the static ATE. Note the robust core (chi2
+    masks). Measured: ~1.4x the static ATE since r4's robustness work. Note the robust core (chi2
     gating + map-anchored motion model) caps the damage far below the
     reference's 0.702 m catastrophic regime — its matcher gets captured
     by the moving consensus; ours degrades gracefully."""
-    assert dynamic_runs["unmasked"] > 1.6 * dynamic_runs["static"], dynamic_runs
+    assert dynamic_runs["unmasked"] > 1.25 * dynamic_runs["static"], dynamic_runs
 
 
 def test_masks_recover_in_reference_order(dynamic_runs):
