@@ -74,7 +74,8 @@ def _texture(u, v, s):
     return 30.0 + 200.0 * t
 
 
-def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed):
+def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed,
+                 box_gray_arr=None):
     """One point-sampled render: (gray (H, W), depth (H, W)).
 
     Fully vectorized over walls and furniture boxes (stacked (B, 2, 3)
@@ -146,13 +147,17 @@ def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed):
     vc = jnp.where(axis_best <= 1, hit[2], hit[1])
     s = jnp.where(face_best >= 0, seed * 7 + face_best, 0)
     gray = _texture(uc, vc, s)
+    if box_gray_arr is not None:
+        flat = box_gray_arr[bi]
+        gray = jnp.where(box_wins & (flat >= 0), flat, gray)
     depth = jnp.where(jnp.isfinite(t_best), t_best, 0.0)
     return gray, depth
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "size", "boxes", "seed", "ss", "depth_noise"),
+    static_argnames=("cam", "size", "boxes", "seed", "ss", "depth_noise",
+                     "box_gray"),
 )
 def render_frames(
     poses_wc: jnp.ndarray,  # (N, 4, 4) camera-to-world
@@ -162,6 +167,7 @@ def render_frames(
     seed: int = 17,
     ss: int = 3,
     depth_noise: float = 0.0,
+    box_gray=None,
 ):
     """All frames in one device program.
 
@@ -172,10 +178,17 @@ def render_frames(
     the center ray, like a real depth camera. `depth_noise` adds
     Kinect-like multiplicative Gaussian depth noise (sigma =
     depth_noise * z, e.g. 0.01 for ~1% — the realistic structured-light
-    error model that the exact ray-traced depth otherwise lacks)."""
+    error model that the exact ray-traced depth otherwise lacks).
+    `box_gray`: optional length-B tuple of flat gray overrides per box
+    (-1 = textured): boxes with a flat level render as solid-intensity
+    rectangles — detectable objects for the synthetic-task SSD (its
+    training distribution is solid rectangles on clutter,
+    semantic/train.py)."""
     if boxes is None:
         boxes = tuple(_default_boxes(size))
     boxes_arr = jnp.asarray(boxes, jnp.float32)  # (B, 2, 3)
+    box_gray_arr = (jnp.asarray(box_gray, jnp.float32)
+                    if box_gray is not None else None)
 
     offs = jnp.asarray(
         [
@@ -193,12 +206,14 @@ def render_frames(
         # compute).
         def sub(off):
             g, _ = _render_once(
-                T_wc, off[0], off[1], cam, size, boxes_arr, seed
+                T_wc, off[0], off[1], cam, size, boxes_arr, seed,
+                box_gray_arr,
             )
             return g
         gray = jnp.mean(jax.lax.map(sub, offs), axis=0)
         # Depth uses the exact center ray, like a real depth camera.
-        _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes_arr, seed)
+        _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes_arr, seed,
+                                box_gray_arr)
         if depth_noise > 0.0:
             # Deterministic per-pose noise field (keyed on the camera
             # position so every frame differs but reps are identical).
