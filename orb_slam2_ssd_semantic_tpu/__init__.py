@@ -12,19 +12,13 @@ device-resident state rather than the reference's thread/mutex design.
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
-# TPU matmul/einsum DEFAULT precision multiplies f32 operands in
-# bfloat16 (one MXU pass): ~0.4% relative error — ~2 cm absolute on
-# 5 m world coordinates. Geometry cannot survive that: the r4 bench
-# circuit's entire translation drift (~1.3 cm/frame pose bias with a
-# PERFECT map, exact seed and zero-residual associations) traced to
-# bf16 point/pose transforms. SLAM is a geometry engine, so true-f32
-# contraction is the correct global default. The deliberately-bf16
-# compute paths are unaffected: the BRIEF one-hot GEMMs
-# (ops/orb_descriptor.py) and the SSD conv stack cast their operands
-# to bfloat16 explicitly, Hamming matching is integer popcount, and
-# the Pallas kernels manage their own dtypes.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: TPU's default f32 matmul multiplies in
+# bfloat16, which is fatal for SLAM geometry (~2 cm error at 5 m range
+# — the r4 drift root cause). The engine runs its entry points under
+# `jax.default_matmul_precision('highest')` via utils/precision.scoped
+# instead of mutating the process-global JAX config at import time
+# (ADVICE r4): host applications keep their own default for their own
+# code. If you call inner jitted kernels directly on TPU, wrap the
+# first (tracing) call in `utils.precision.highest_precision()`.
 
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig  # noqa: F401

@@ -75,7 +75,7 @@ def _texture(u, v, s):
 
 
 def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed,
-                 box_gray_arr=None):
+                 box_gray_arr=None, n_static=None):
     """One point-sampled render: (gray (H, W), depth (H, W)).
 
     Fully vectorized over walls and furniture boxes (stacked (B, 2, 3)
@@ -145,6 +145,19 @@ def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed,
     hit = o[:, None, None] + t_best[None] * dirs  # (3, H, W)
     uc = jnp.where(axis_best == 0, hit[1], hit[0])
     vc = jnp.where(axis_best <= 1, hit[2], hit[1])
+    if n_static is not None and boxes_arr.shape[0] > n_static:
+        # MOVING boxes (index >= n_static): anchor the texture to the
+        # box's own min corner so the pattern travels WITH the box — a
+        # world-anchored texture on a moving surface would look static
+        # to optical flow and to the tracker, which defeats the whole
+        # dynamic-scene simulation. Static boxes keep the historical
+        # world-anchored realization (accuracy gates are tuned on it).
+        bmin_sel = bmin[bi]  # (H, W, 3)
+        moving = box_wins & (bi >= n_static)
+        off_u = jnp.where(axis_best == 0, bmin_sel[..., 1], bmin_sel[..., 0])
+        off_v = jnp.where(axis_best <= 1, bmin_sel[..., 2], bmin_sel[..., 1])
+        uc = jnp.where(moving, uc - off_u, uc)
+        vc = jnp.where(moving, vc - off_v, vc)
     s = jnp.where(face_best >= 0, seed * 7 + face_best, 0)
     gray = _texture(uc, vc, s)
     if box_gray_arr is not None:
@@ -157,7 +170,7 @@ def _render_once(T_wc, du, dv, cam: CameraConfig, size, boxes_arr, seed,
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "size", "boxes", "seed", "ss", "depth_noise",
-                     "box_gray"),
+                     "box_gray", "moving_gray"),
 )
 def render_frames(
     poses_wc: jnp.ndarray,  # (N, 4, 4) camera-to-world
@@ -168,6 +181,8 @@ def render_frames(
     ss: int = 3,
     depth_noise: float = 0.0,
     box_gray=None,
+    moving_boxes=None,
+    moving_gray=None,
 ):
     """All frames in one device program.
 
@@ -183,12 +198,31 @@ def render_frames(
     (-1 = textured): boxes with a flat level render as solid-intensity
     rectangles — detectable objects for the synthetic-task SSD (its
     training distribution is solid rectangles on clutter,
-    semantic/train.py)."""
+    semantic/train.py).
+
+    `moving_boxes`: optional (N, M, 2, 3) per-frame AABBs of MOVING
+    boxes (the synthetic analogue of the walking people in TUM
+    fr3_walking) rendered in front of the static scene with
+    box-anchored texture so their surface pattern travels with them;
+    `moving_gray`: optional length-M flat-gray tuple for them (same
+    convention as `box_gray`). Ground-truth camera poses are unchanged,
+    so ATE evaluation stays exact."""
     if boxes is None:
         boxes = tuple(_default_boxes(size))
     boxes_arr = jnp.asarray(boxes, jnp.float32)  # (B, 2, 3)
-    box_gray_arr = (jnp.asarray(box_gray, jnp.float32)
-                    if box_gray is not None else None)
+    n_static = int(boxes_arr.shape[0])
+    mb = None
+    if moving_boxes is not None:
+        mb = jnp.asarray(moving_boxes, jnp.float32)  # (N, M, 2, 3)
+    box_gray_arr = None
+    if box_gray is not None or moving_gray is not None:
+        g_static = tuple(box_gray) if box_gray is not None else (-1.0,) * n_static
+        g_moving = ()
+        if mb is not None:
+            n_mov = int(mb.shape[1])
+            g_moving = (tuple(moving_gray) if moving_gray is not None
+                        else (-1.0,) * n_mov)
+        box_gray_arr = jnp.asarray(g_static + g_moving, jnp.float32)
 
     offs = jnp.asarray(
         [
@@ -199,21 +233,26 @@ def render_frames(
         jnp.float32,
     )  # (ss*ss, 2)
 
-    def one(T_wc):
+    def one(T_wc, frame_boxes=None):
         # Subsamples via lax.map: the render body is traced ONCE, not
         # ss^2 times — the program is ~9x smaller and compiles that much
         # faster (the data phase's wall-clock risk is compile, not
         # compute).
+        if frame_boxes is not None:
+            all_boxes = jnp.concatenate([boxes_arr, frame_boxes], axis=0)
+        else:
+            all_boxes = boxes_arr
+
         def sub(off):
             g, _ = _render_once(
-                T_wc, off[0], off[1], cam, size, boxes_arr, seed,
-                box_gray_arr,
+                T_wc, off[0], off[1], cam, size, all_boxes, seed,
+                box_gray_arr, n_static=n_static,
             )
             return g
         gray = jnp.mean(jax.lax.map(sub, offs), axis=0)
         # Depth uses the exact center ray, like a real depth camera.
-        _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, boxes_arr, seed,
-                                box_gray_arr)
+        _, depth = _render_once(T_wc, 0.0, 0.0, cam, size, all_boxes, seed,
+                                box_gray_arr, n_static=n_static)
         if depth_noise > 0.0:
             # Deterministic per-pose noise field (keyed on the camera
             # position so every frame differs but reps are identical).
@@ -229,4 +268,6 @@ def render_frames(
         d16 = jnp.clip(depth * 1000.0, 0, 65535).astype(jnp.uint16)
         return g8, d16
 
+    if mb is not None:
+        return jax.lax.map(lambda args: one(*args), (poses_wc, mb))
     return jax.lax.map(one, poses_wc)

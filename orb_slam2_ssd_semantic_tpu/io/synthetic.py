@@ -115,6 +115,152 @@ def loop_room_boxes(size):
     return out
 
 
+def loop_walkers(n_frames: int, room=(8.0, 3.0, 10.0), laps: float = 1.125,
+                 n_objects: int = 2, margin: float = 2.2,
+                 style: str = "stand_drift"):
+    """(N, M, 2, 3) per-frame AABBs of person-sized 'walkers' circulating
+    the room AHEAD of the `loop_trajectory` camera — the bench-scale
+    analogue of the walking people in TUM fr3_walking (the reference's
+    headline dynamic sequence, reference README.md:133-163). Each walker
+    keeps a phase lead on (a scaled copy of) the camera's ellipse, so it
+    is in the tangent-looking camera's view for long stretches; at
+    ~1.5-3 m range a 0.5 x 1.55 m box spans 90-250 px — fr3_walking-
+    person image coverage.
+
+    `style`:
+      * "sway" — continuous fast oscillation along the path (~5-10 px
+        apparent motion/frame). Fast coherent motion is what per-frame
+        chi2 gating rejects on its own, so this style measures mask
+        COST more than benefit.
+      * "stand_drift" — the DynaSLAM failure mode (and the reason the
+        reference's geometry mask exists, Geometry.cc): each walker
+        STANDS for ~1.5 s (long enough to be mapped into keyframes as
+        'static' landmarks) then DRIFTS slowly (~2-3 px/frame apparent
+        — inside the per-frame chi2 gate), dragging the pose estimate
+        with it; then stands again. Per-frame outlier rejection cannot
+        catch the drift; multi-view depth-reprojection (geommask) can.
+    """
+    sx, sy, sz = room
+    a = sx / 2 - margin
+    b = sz / 2 - margin
+    specs = [
+        # (radial scale, base phase lead, sway amp, sway freq, width)
+        (1.00, 1.15, 0.14, 1.7, 0.50),
+        (1.22, 0.95, 0.12, 2.3, 0.45),
+        (0.85, 1.45, 0.15, 1.2, 0.42),
+    ][:n_objects]
+    rng = np.random.default_rng(5)
+    # Per-walker stand/drift schedule: alternating segments (lengths in
+    # frames at the bench's 337-frame scale, scaled with n_frames).
+    scale = n_frames / 337.0
+    schedules = []
+    for m in range(len(specs)):
+        stand = max(int((40 + 12 * m) * scale), 4)
+        drift = max(int((44 - 6 * m) * scale), 4)
+        # Accumulated phase-lead offset over time: 0 during stands,
+        # linear slope during drifts (alternating direction).
+        off = np.zeros(n_frames, np.float32)
+        cur = 0.0
+        i = 0
+        k = 0
+        rate = 0.0042 / scale  # rad/frame -> ~2.5 px/frame at 2.3 m
+        while i < n_frames:
+            hold = stand if k % 2 == 0 else drift
+            sgn = -1.0 if (k // 2) % 2 == 0 else 1.0
+            for j in range(i, min(i + hold, n_frames)):
+                if k % 2 == 1:
+                    cur += sgn * rate
+                off[j] = cur
+            i += hold
+            k += 1
+        schedules.append(off)
+    out = np.zeros((n_frames, len(specs), 2, 3), np.float32)
+    for i in range(n_frames):
+        th = 2 * np.pi * laps * i / n_frames
+        t = i / max(n_frames - 1, 1)
+        for m, (f, lead, amp, freq, wdt) in enumerate(specs):
+            if style == "sway":
+                phw = th + lead + amp * np.sin(2 * np.pi * freq * t * laps)
+                bob = 0.05 * np.sin(7.0 * th + m)
+            else:
+                phw = th + lead + schedules[m][i]
+                bob = 0.0
+            xw = sx / 2 + f * a * np.sin(phw)
+            zw = sz / 2 + f * b * np.cos(phw)
+            # Standing on the floor (y down, floor at y=sy): 1.55 m tall.
+            y_top = sy - 1.55 + bob
+            out[i, m, 0] = (xw - wdt / 2, y_top, zw - wdt / 2)
+            out[i, m, 1] = (xw + wdt / 2, sy, zw + wdt / 2)
+    return out
+
+
+def sway_trajectory(n_frames: int, room=(8.0, 3.0, 10.0)):
+    """fr3_walking-style trajectory: the camera hovers near the room
+    center, gently swaying (lateral/vertical sinusoids, ~1 cm/frame) and
+    yawing a few degrees while looking at the furnished +z wall. The
+    reference's headline dynamic sequences have exactly this regime —
+    a quasi-static camera with people crossing the view (TUM
+    fr3_walking; reference README.md:133-163). Returns (n, 4, 4)
+    camera-to-world poses."""
+    sx, sy, sz = room
+    poses = []
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        x = sx / 2 + 0.40 * np.sin(2 * np.pi * 1.7 * t)
+        y = sy / 2 + 0.10 * np.sin(2 * np.pi * 1.1 * t + 0.7)
+        z = 0.55 * sz + 0.15 * np.sin(2 * np.pi * 0.8 * t)
+        yaw = 0.10 * np.sin(2 * np.pi * 1.3 * t)
+        pitch = 0.04 * np.sin(2 * np.pi * 0.9 * t + 1.3)
+        cy_, sy_ = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R_yaw = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        R_pitch = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = (R_yaw @ R_pitch).astype(np.float32)
+        T[:3, 3] = [x, y, z]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def cross_walkers(n_frames: int, room=(8.0, 3.0, 10.0), n_objects: int = 2):
+    """(N, M, 2, 3) per-frame AABBs of person-sized walkers CROSSING the
+    sway_trajectory camera's view in front of the +z wall, with walk /
+    stand cycles — the fr3_walking failure mode: while standing they are
+    mapped as 'static' landmarks; walking at ~0.4 m/s (2-4 px/frame at
+    2-3 m) they drag per-frame pose estimation, too slow for chi2
+    rejection to excise cleanly. Multi-view depth reprojection
+    (dynamic/geommask.py, the reference's Geometry.cc) catches both
+    phases."""
+    sx, sy, sz = room
+    cam_z = 0.55 * sz
+    specs = [
+        # (z plane, x start, x span, phase, stand fraction, width)
+        (cam_z + 2.1, sx / 2 - 1.9, 3.4, 0.00, 0.30, 0.52),
+        (cam_z + 2.9, sx / 2 + 1.8, -3.6, 0.45, 0.25, 0.55),
+        (cam_z + 1.6, sx / 2 - 1.2, 2.4, 0.70, 0.35, 0.45),
+    ][:n_objects]
+    out = np.zeros((n_frames, len(specs), 2, 3), np.float32)
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        for m, (zw, x0, span, phase, stand_frac, wdt) in enumerate(specs):
+            # Walk progress with embedded stands: a piecewise-linear
+            # "stop-and-go" profile built from a clamped sawtooth.
+            cyc = (t + phase) % 1.0
+            # Two stand windows per pass.
+            prog = 0.0
+            u = cyc
+            for s0 in (0.22, 0.62):
+                if u > s0:
+                    u_seg = min(u, s0 + stand_frac / 2) - s0
+                    u = u - u_seg  # time spent standing does not advance
+            prog = u / (1.0 - stand_frac)
+            prog = min(max(prog, 0.0), 1.0)
+            xw = x0 + span * prog
+            out[i, m, 0] = (xw - wdt / 2, sy - 1.6, zw - wdt / 2)
+            out[i, m, 1] = (xw + wdt / 2, sy, zw + wdt / 2)
+    return out
+
+
 def loop_trajectory(n_frames: int, room=(8.0, 3.0, 10.0),
                     laps: float = 1.125, margin: float = 2.2,
                     look_ahead: float = 0.35):
@@ -328,6 +474,13 @@ class SyntheticSequence:
             )
             self.poses_wc = loop_trajectory(self.n_frames, size,
                                             laps=self.loop_laps)
+        elif self.trajectory == "sway":
+            size = self.room_size or (8.0, 3.0, 10.0)
+            self.room = BoxRoom(
+                size=size, seed=self.seed, cam=self.cam,
+                boxes=loop_room_boxes(size),
+            )
+            self.poses_wc = sway_trajectory(self.n_frames, size)
         else:
             size = self.room_size or (5.0, 3.0, 6.0)
             self.room = BoxRoom(size=size, seed=self.seed, cam=self.cam)

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig, SlamConfig
+from orb_slam2_ssd_semantic_tpu.utils import precision
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.geometry import se3
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState
@@ -503,6 +504,7 @@ def _write_back(state: SlamState, prob, res) -> SlamState:
     return state._replace(points=pts, kfs=kfs)
 
 
+@precision.scoped
 @functools.partial(jax.jit, static_argnames=("cfg", "cg_iters"))
 def global_ba_step_state(state: SlamState, cfg: SlamConfig, cg_iters: int = 20) -> SlamState:
     """Run global BA over the whole SlamState and write back refined
@@ -521,6 +523,7 @@ def global_ba_step_state(state: SlamState, cfg: SlamConfig, cg_iters: int = 20) 
 _DIST_GBA_CACHE: dict = {}
 
 
+@precision.scoped
 def global_ba_step_state_sharded(state: SlamState, cfg: SlamConfig, mesh,
                                  cg_iters: int = 20) -> SlamState:
     """Mesh-mode global BA: the same step as `global_ba_step_state`, but
@@ -542,15 +545,32 @@ def global_ba_step_state_sharded(state: SlamState, cfg: SlamConfig, mesh,
     prob = problem_from_state(state, cfg)
     n = mesh.shape[PT_AXIS]
     M = prob.obs_kf.shape[0]
-    assert M % n == 0, (M, n)
+    pad = (-M) % n
+    obs = prob
+    if pad:
+        # Pad the observation axis to a pt-axis multiple; padded rows are
+        # obs_valid=False so they contribute nothing to the reductions
+        # (a config whose F*K is not divisible by the axis size must not
+        # crash mid-run at the first accepted loop — ADVICE r4).
+        def _pad(x):
+            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x, width)
+
+        obs = prob._replace(
+            obs_kf=_pad(prob.obs_kf), obs_pt=_pad(prob.obs_pt),
+            obs_uvr=_pad(prob.obs_uvr), inv_sigma2=_pad(prob.inv_sigma2),
+            is_stereo=_pad(prob.is_stereo), obs_valid=_pad(prob.obs_valid),
+        )
     sh = NamedSharding(mesh, P_(PT_AXIS))
-    prob_sh = prob._replace(
-        obs_kf=jax.device_put(prob.obs_kf, sh),
-        obs_pt=jax.device_put(prob.obs_pt, sh),
-        obs_uvr=jax.device_put(prob.obs_uvr, sh),
-        inv_sigma2=jax.device_put(prob.inv_sigma2, sh),
-        is_stereo=jax.device_put(prob.is_stereo, sh),
-        obs_valid=jax.device_put(prob.obs_valid, sh),
+    prob_sh = obs._replace(
+        obs_kf=jax.device_put(obs.obs_kf, sh),
+        obs_pt=jax.device_put(obs.obs_pt, sh),
+        obs_uvr=jax.device_put(obs.obs_uvr, sh),
+        inv_sigma2=jax.device_put(obs.inv_sigma2, sh),
+        is_stereo=jax.device_put(obs.is_stereo, sh),
+        obs_valid=jax.device_put(obs.obs_valid, sh),
     )
     res = run(prob_sh)
+    if pad:
+        res = res._replace(inlier=res.inlier[:M], chi2=res.chi2[:M])
     return _write_back(state, prob, res)

@@ -46,6 +46,7 @@ from orb_slam2_ssd_semantic_tpu.mapping.pose_graph import (
 from orb_slam2_ssd_semantic_tpu.frontend.extractor import scale_factors
 from orb_slam2_ssd_semantic_tpu.mapping.sim3_opt import optimize_sim3
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
+from orb_slam2_ssd_semantic_tpu.utils import precision
 
 
 def map_median_reproj_error(state: SlamState, cfg: SlamConfig) -> float:
@@ -186,6 +187,7 @@ class LoopCloser:
         return np.asarray(voc.l1_scores(
             words, vals, self.word_db, self.val_db, self.vocab.n_words))
 
+    @precision.scoped
     def on_keyframe(self, state: SlamState, kf_id: int):
         """Update the BoW database and attempt loop detection/closure.
         `kf_id` is the SLOT of the just-inserted keyframe (recency is
@@ -267,6 +269,7 @@ class LoopCloser:
 
     # ---- Sim3 / rigid estimation ------------------------------------------
 
+    @precision.scoped
     def _estimate_loop_transform(self, state: SlamState, kf_id: int, cand: int):
         cfg = self.cfg
         cam = cfg.camera
@@ -414,7 +417,12 @@ class LoopCloser:
             return False, T_ji, len(ids)
         # Pad to fixed size for the jitted matcher.
         CAP = 4096
-        ids = ids[:CAP]
+        if len(ids) > CAP:
+            # Keep the BEST-observed landmarks, not the lowest point ids:
+            # on dense maps an index-order cut hands the confirmation
+            # matcher an arbitrary subset (ADVICE r4).
+            n_obs = np.asarray(state.points.n_obs)[ids]
+            ids = ids[np.argsort(-n_obs, kind="stable")[:CAP]]
         sel = np.full(CAP, P - 1, np.int64)
         sel[:len(ids)] = ids
         sel_valid = np.zeros(CAP, bool)
@@ -461,6 +469,7 @@ class LoopCloser:
 
     # ---- correction -------------------------------------------------------
 
+    @precision.scoped
     def _correct(self, state: SlamState, kf_id: int, cand: int, T_ji):
         cfg = self.cfg
         F = state.kfs.valid.shape[0]

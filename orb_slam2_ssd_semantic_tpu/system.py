@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from orb_slam2_ssd_semantic_tpu.config import SlamConfig
+from orb_slam2_ssd_semantic_tpu.utils import precision
 
 
 class SlamSystem:
@@ -44,6 +45,8 @@ class SlamSystem:
         self.mesh = mesh
         self.tracker = Tracker(self.cfg, mesh=mesh)
         self.localization_only = False
+        self._enable_semantics = enable_semantics
+        self._enable_dense_map = enable_dense_map
 
         self.detector = None
         self.object_db = None
@@ -54,23 +57,41 @@ class SlamSystem:
             self.detector = Detector(self.cfg.semantic, params=detector_params)
             self.object_db = empty_db(self.cfg.semantic.max_objects)
 
+        self._build_grid()
+        self._rng_key = None
+        self._last_n_kfs = 0
+
+    def _build_grid(self):
+        """(Re)create the dense occupancy map — called at construction and
+        on reset (the reference clears the octomap when the map resets,
+        MapDrawer.cc:381-386)."""
+        mesh = self.mesh
         self.grid = None
         self._sharded_grid = None
-        if enable_dense_map:
+        if self._enable_dense_map:
             if mesh is not None and not self.cfg.dense.unbounded:
                 # Mesh mode: single working volume sharded into X-slabs
                 # over the pt axis; inserts run shard-local with no
                 # cross-slab traffic (parallel/dist_occupancy.py).
+                # LIMITATION: the sharded insert updates log-odds only —
+                # per-scan color accumulation is a single-device-path
+                # feature (save_octomap emits a colorless grid in mesh
+                # mode).
                 from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
                     empty_grid,
                 )
                 from orb_slam2_ssd_semantic_tpu.parallel import (
                     dist_occupancy,
                 )
+                from orb_slam2_ssd_semantic_tpu.parallel.mesh import PT_AXIS
 
                 ref = empty_grid(resolution=self.cfg.dense.resolution)
                 dims = tuple(int(d) for d in ref.log_odds.shape)
-                n_sh = int(np.prod([d for d in mesh.devices.shape]))
+                # Pad only to the pt-axis size: the X slabs are sharded
+                # over PT_AXIS alone, so padding to the full device count
+                # on a kf>1 mesh would inflate the working volume for
+                # nothing (ADVICE r4).
+                n_sh = int(mesh.shape[PT_AXIS])
                 if dims[0] % n_sh:
                     # Pad the X extent up to a slab multiple.
                     X = ((dims[0] + n_sh - 1) // n_sh) * n_sh
@@ -99,11 +120,10 @@ class SlamSystem:
                 from orb_slam2_ssd_semantic_tpu.dense.occupancy import empty_grid
 
                 self.grid = empty_grid(resolution=self.cfg.dense.resolution)
-        self._rng_key = None
-        self._last_n_kfs = 0
 
     # ---- per-frame entry (TrackRGBD, System.cc:262-326) -------------------
 
+    @precision.scoped
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, stamp: float,
                    feats=None) -> np.ndarray:
         """rgb: (H, W, 3) uint8 (or (H, W) gray); depth: (H, W) float32
@@ -129,6 +149,7 @@ class SlamSystem:
             self._on_new_keyframe(rgb, depth, T_cw)
         return T_cw
 
+    @precision.scoped
     def track_stereo(self, left: np.ndarray, right: np.ndarray, stamp: float) -> np.ndarray:
         """TrackStereo equivalent (System.cc TrackStereo; the reference
         runs L/R ORB extraction in two std::threads and row-band stereo
@@ -183,6 +204,7 @@ class SlamSystem:
         d = np.asarray(d_dev)
         return self.track_rgbd(gl, d, stamp, feats=fl)
 
+    @precision.scoped
     def track_monocular(self, rgb: np.ndarray, stamp: float) -> np.ndarray:
         """TrackMonocular equivalent (System.cc TrackMonocular).
 
@@ -336,10 +358,21 @@ class SlamSystem:
         self.tracker.frames_since_kf = 0
 
     def reset(self):
-        """System::Reset equivalent (System.cc:417, Tracking.cc:3069)."""
+        """System::Reset equivalent (System.cc:417, Tracking.cc:3069):
+        rebuild the tracker KEEPING the device mesh (sharded GBA/BoW/
+        occupancy stay active), clear the dense map (the reference clears
+        the octomap on map reset, MapDrawer.cc:381-386) and the semantic
+        object database."""
         from orb_slam2_ssd_semantic_tpu.tracking.tracker import Tracker
 
-        self.tracker = Tracker(self.cfg)
+        self.tracker = Tracker(self.cfg, mesh=self.mesh)
+        self._build_grid()
+        if self.object_db is not None:
+            from orb_slam2_ssd_semantic_tpu.semantic.object_db import empty_db
+
+            self.object_db = empty_db(self.cfg.semantic.max_objects)
+        self._rng_key = None
+        self._last_n_kfs = 0
 
     def shutdown(self):
         """No worker threads to join; provided for API parity

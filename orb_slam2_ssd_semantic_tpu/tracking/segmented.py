@@ -42,17 +42,21 @@ from orb_slam2_ssd_semantic_tpu.config import SlamConfig
 from orb_slam2_ssd_semantic_tpu.mapping.loop_closing import LoopCloser
 from orb_slam2_ssd_semantic_tpu.mapping.map_state import empty_state
 from orb_slam2_ssd_semantic_tpu.tracking import scan_tracker
+from orb_slam2_ssd_semantic_tpu.utils import precision
 
 
 @jax.jit
-def _pack_segment(T_seg, stats_seg, uid, valid, fid):
-    """One packed device->host transfer per segment: poses, stats, and
-    the keyframe snapshot. On remote-attached hardware every fetch costs
-    ~30-50 ms of tunnel latency; five small fetches per segment were
-    ~8% of the whole run (r4 measurement)."""
+def _pack_segment(T_seg, stats_seg, T_rel, ref_uid, uid, valid, fid):
+    """One packed device->host transfer per segment: poses, stats, the
+    in-scan keyframe-relative records, and the keyframe snapshot. On
+    remote-attached hardware every fetch costs ~30-50 ms of tunnel
+    latency; five small fetches per segment were ~8% of the whole run
+    (r4 measurement)."""
     return jnp.concatenate([
         T_seg.reshape(-1),
         stats_seg.astype(jnp.float32).reshape(-1),
+        T_rel.reshape(-1),
+        ref_uid.astype(jnp.float32),
         uid.astype(jnp.float32),
         valid.astype(jnp.float32),
         fid.astype(jnp.float32),
@@ -101,6 +105,7 @@ def resolve_trajectory(result: SegmentedResult) -> np.ndarray:
     return np.stack(out)
 
 
+@precision.scoped
 def track_sequence_segmented(
     g_dev,
     d_dev,
@@ -112,6 +117,7 @@ def track_sequence_segmented(
     segment_len: int = 48,
     loop_closer: LoopCloser | None = None,
     use_flow: bool = False,
+    use_geom: bool = False,
     verbose: bool = False,
 ) -> SegmentedResult:
     """g_dev (N, H, W) uint8 grays, d_dev (N, H, W) uint16 mm depths on
@@ -119,7 +125,9 @@ def track_sequence_segmented(
     init_scan; every segment then has identical static shapes -> one
     compile). `use_flow` runs the per-frame optical-flow dynamic mask
     inside every segment scan (the reference's pre-tracking Flow stage,
-    Tracking.cc:688-719)."""
+    Tracking.cc:688-719); `use_geom` runs the multi-view geometry mask
+    against the in-scan keyframe view DB (Geometry.cc:50-518 — the mask
+    behind the reference's best published ATE)."""
     n = g_dev.shape[0]
     assert (n - 1) % segment_len == 0, (n, segment_len)
     n_seg = (n - 1) // segment_len
@@ -132,11 +140,13 @@ def track_sequence_segmented(
                   voc_words=voc_words)
     if use_flow:
         kw["use_flow"] = True
+    if use_geom:
+        kw["use_geom"] = True
 
     t0 = time.perf_counter()
     carry = scan_tracker.init_scan(
         empty_state(cfg), g_dev[0], d_dev[0], cfg,
-        vocab=va, voc_k=voc_k, voc_depth=voc_depth,
+        vocab=va, voc_k=voc_k, voc_depth=voc_depth, use_geom=use_geom,
     )
     T_parts: list = [np.eye(4, dtype=np.float32)[None]]
     stats_parts: list = []
@@ -159,11 +169,14 @@ def track_sequence_segmented(
         kw2 = dict(kw)
         if use_flow:
             kw2["prev_grays"] = g_dev[lo - 1:hi - 1]
-        carry_after, T_seg, stats_seg = scan_tracker.track_sequence_scan(
-            carry_in, g_dev[lo:hi], d_dev[lo:hi], cfg, **kw2
+        carry_after, T_seg, stats_seg, T_rel, ref_uid = (
+            scan_tracker.track_sequence_scan(
+                carry_in, g_dev[lo:hi], d_dev[lo:hi], cfg, with_rel=True,
+                **kw2,
+            )
         )
         return carry_after, _pack_segment(
-            T_seg, stats_seg, carry_after.state.kfs.uid,
+            T_seg, stats_seg, T_rel, ref_uid, carry_after.state.kfs.uid,
             carry_after.state.kfs.valid, carry_after.state.kfs.frame_id,
         )
 
@@ -190,9 +203,11 @@ def track_sequence_segmented(
         F = carry_after.state.kfs.uid.shape[0]
         T_host = packed[:S * 16].reshape(S, 4, 4)
         stats_host = packed[S * 16:S * 20].reshape(S, 4)
-        k_uid = packed[S * 20:S * 20 + F].astype(np.int64)
-        k_valid = packed[S * 20 + F:S * 20 + 2 * F] > 0.5
-        k_fid = packed[S * 20 + 2 * F:S * 20 + 3 * F].astype(np.int64)
+        rel_host = packed[S * 20:S * 36].reshape(S, 4, 4)
+        ruid_host = packed[S * 36:S * 37].astype(np.int64)
+        k_uid = packed[S * 37:S * 37 + F].astype(np.int64)
+        k_valid = packed[S * 37 + F:S * 37 + 2 * F] > 0.5
+        k_fid = packed[S * 37 + 2 * F:S * 37 + 3 * F].astype(np.int64)
         scan_s += time.perf_counter() - t_scan
         carry = carry_after
         T_parts.append(T_host)
@@ -203,28 +218,21 @@ def track_sequence_segmented(
                   f"n_kfs={int(np.asarray(carry.state.n_kfs))} "
                   f"inl_min={int(stats_host[:, 1].min())}")
 
-        # Keyframe-relative trajectory records (SaveTrajectoryTUM
-        # semantics, System.cc:476-502): T_rel is measured at TRACK time
-        # against the reference keyframe's INSERTION pose — which, with
-        # reanchor_on_kf=False, is exactly the tracked pose at the
-        # keyframe's own frame. Mixing in later BA-refined poses here
-        # (fetch-time poses) contaminates T_rel with the refinement
-        # delta and systematically degrades the resolved trajectory.
+        # Keyframe-relative trajectory records: computed IN-SCAN against
+        # the reference keyframe's pose AT TRACK TIME (the exact
+        # SaveTrajectoryTUM convention, System.cc:476-502) — resolving
+        # against the FINAL poses then applies exactly the refinements
+        # each frame never saw. Anchoring on INSERTION poses instead
+        # double-counts local-BA deltas the tracked pose already
+        # reflected (the r4 resolved-worse-than-raw regression,
+        # VERDICT r4 weak #2).
         live = k_valid & (k_uid >= 0)
         for slot in np.nonzero(live)[0]:
             u, f = int(k_uid[slot]), int(k_fid[slot])
             if u not in kf_pose_at_insert and lo <= f < hi:
                 kf_pose_at_insert[u] = (f, T_host[f - lo])
-        known = np.array(sorted(kf_pose_at_insert))
-        uid_frames = np.array([kf_pose_at_insert[u][0] for u in known])
-        order = np.argsort(uid_frames)
-        known, uid_frames = known[order], uid_frames[order]
         for i in range(segment_len):
-            f = lo + i
-            j = max(int(np.searchsorted(uid_frames, f, side="right")) - 1, 0)
-            ref_uid = int(known[j])
-            T_rel = T_host[i] @ np.linalg.inv(kf_pose_at_insert[ref_uid][1])
-            traj.append((ref_uid, T_rel))
+            traj.append((int(ruid_host[i]), rel_host[i]))
 
         # ---- mid-run loop verification + correction ------------------
         cands = stats_host[:, 3]

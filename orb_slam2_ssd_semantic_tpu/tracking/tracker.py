@@ -34,6 +34,7 @@ from orb_slam2_ssd_semantic_tpu.mapping.map_state import SlamState, empty_state
 from orb_slam2_ssd_semantic_tpu.ops import image as image_ops
 from orb_slam2_ssd_semantic_tpu.ops import match as match_ops
 from orb_slam2_ssd_semantic_tpu.tracking.pose_opt import pose_optimize
+from orb_slam2_ssd_semantic_tpu.utils import precision
 
 
 class Frame(NamedTuple):
@@ -704,6 +705,7 @@ class Tracker:
         self._retired: dict = {}
         self._lost_streak = 0
 
+    @precision.scoped
     def process(self, gray: np.ndarray, depth: np.ndarray, stamp: float,
                 feats: Features | None = None) -> np.ndarray:
         """Track one RGB-D frame; returns T_cw (4,4) numpy.

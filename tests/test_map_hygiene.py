@@ -111,8 +111,14 @@ def _make_two_kf_state_with_duplicates(cfg, n=32, seed=0):
             pos=pts.pos.at[sl].set(jnp.asarray(X)),
             desc=pts.desc.at[sl].set(jnp.asarray(desc)),
             normal=pts.normal.at[sl].set(jnp.asarray(nrm)),
-            min_dist=pts.min_dist.at[sl].set(jnp.asarray(dist / 2)),
-            max_dist=pts.max_dist.at[sl].set(jnp.asarray(dist * 2)),
+            # Engine-consistent scale-invariance band for LEVEL-0
+            # keypoints (tracker.py:398-399 / MapPoint.cc:397-446):
+            # max = dist * sf[0] = dist, min = max / sf[-1]. The fuse
+            # octave gate (r4) predicts the level from max_dist/dist;
+            # a fictitious max = 2*dist would predict level 4 against
+            # level-0 keypoints and correctly refuse every merge.
+            min_dist=pts.min_dist.at[sl].set(jnp.asarray(dist / 3.6)),
+            max_dist=pts.max_dist.at[sl].set(jnp.asarray(dist)),
             n_obs=pts.n_obs.at[sl].set(1),
             n_visible=pts.n_visible.at[sl].set(1),
             n_found=pts.n_found.at[sl].set(1),
