@@ -64,18 +64,28 @@ def main():
         camera=dataclasses.replace(base.camera, th_depth=80.0),
         map=dataclasses.replace(base.map, max_keyframes=128,
                                 max_map_points=16384),
-        tracking=dataclasses.replace(base.tracking, local_map_candidates=1536),
+        dynamic=dataclasses.replace(
+            base.dynamic,
+            min_static_area=float(os.environ.get("DIAG_GUARD", "0.45")),
+        ),
+        tracking=dataclasses.replace(
+            base.tracking, local_map_candidates=1536,
+            max_frames_between_kfs=int(
+                os.environ.get("DIAG_KF_MAX", "30")),
+        ),
     )
     seq = SyntheticSequence(n_frames=N, trajectory=SCENE, loop_laps=LAPS)
     poses = jnp.asarray(np.stack(seq.poses_wc).astype(np.float32))
     if SCENE == "sway":
-        walkers = cross_walkers(N, seq.room.size)
+        walkers = cross_walkers(N, seq.room.size,
+                                n_objects=int(os.environ.get("DIAG_WALKERS", "3")))
     else:
         walkers = loop_walkers(N, seq.room.size, laps=LAPS)
     g_dyn, d_dyn = render_frames(
         poses, cfg.camera, size=seq.room.size,
         boxes=tuple(tuple(map(tuple, b)) for b in seq.room.boxes),
         seed=seq.seed, moving_boxes=jnp.asarray(walkers),
+        depth_noise=float(os.environ.get("DIAG_DEPTH_NOISE", "0.01")),
     )
     np.asarray(g_dyn[0][0, 0])
     print(f"# rendered {SCENE} dynamic scene, {N} frames")

@@ -476,6 +476,13 @@ class SemanticConfig:
     # tvmonitor 0.25, default 0.6 (meters).
     max_objects: int = 256
     default_merge_radius: float = 0.6
+    # 2D->3D fusion scheme the engine runs on each keyframe's
+    # detections: "depth_window" (Merge2d3d.cc — fast, the measured
+    # default here) or "merge_sg" (plane-removal + clustering + IoU
+    # matching, MergeSG.cc — the implementation the reference compiles
+    # in, MapDrawer.cc:79; ~3x the fusion cost for cluster-tight
+    # extents).
+    fusion_scheme: str = "depth_window"
     # Depth-window fusion (Merge2d3d.cc:55-97): central 30-70% box for
     # mean depth, +-0.2 m window over central 20-80%.
     fusion_depth_window: float = 0.2

@@ -234,27 +234,36 @@ def cross_walkers(n_frames: int, room=(8.0, 3.0, 10.0), n_objects: int = 2):
     sx, sy, sz = room
     cam_z = 0.55 * sz
     specs = [
-        # (z plane, x start, x span, phase, stand fraction, width)
-        (cam_z + 2.1, sx / 2 - 1.9, 3.4, 0.00, 0.30, 0.52),
-        (cam_z + 2.9, sx / 2 + 1.8, -3.6, 0.45, 0.25, 0.55),
-        (cam_z + 1.6, sx / 2 - 1.2, 2.4, 0.70, 0.35, 0.45),
+        # (z plane, x start, x span, phase, stand fraction, width, fast)
+        (cam_z + 1.6, sx / 2 - 1.6, 3.0, 0.00, 0.30, 0.75, False),
+        (cam_z + 2.4, sx / 2 + 1.7, -3.5, 0.45, 0.25, 0.80, False),
+        # A BRISK continuous crosser (~10 px/frame at the bench's 337
+        # frames): fast coherent motion is what the FLOW mask catches
+        # (and slow stand/drift is what only the geometry mask catches)
+        # — together they reproduce the reference's mask hierarchy
+        # (flow partial, geom full; README.md:133-153).
+        (cam_z + 1.35, sx / 2 - 1.2, 2.4, 0.30, 0.00, 0.55, True),
     ][:n_objects]
     out = np.zeros((n_frames, len(specs), 2, 3), np.float32)
     for i in range(n_frames):
         t = i / max(n_frames - 1, 1)
-        for m, (zw, x0, span, phase, stand_frac, wdt) in enumerate(specs):
-            # Walk progress with embedded stands: a piecewise-linear
-            # "stop-and-go" profile built from a clamped sawtooth.
-            cyc = (t + phase) % 1.0
-            # Two stand windows per pass.
-            prog = 0.0
-            u = cyc
-            for s0 in (0.22, 0.62):
-                if u > s0:
-                    u_seg = min(u, s0 + stand_frac / 2) - s0
-                    u = u - u_seg  # time spent standing does not advance
-            prog = u / (1.0 - stand_frac)
-            prog = min(max(prog, 0.0), 1.0)
+        for m, (zw, x0, span, phase, stand_frac, wdt, fast) in enumerate(specs):
+            if fast:
+                # Triangle wave: 2.5 full crossings over the run.
+                u = (2.5 * t + phase) % 1.0
+                prog = 2 * u if u < 0.5 else 2 * (1 - u)
+            else:
+                # Walk progress with embedded stands: a piecewise-linear
+                # "stop-and-go" profile built from a clamped sawtooth.
+                cyc = (t + phase) % 1.0
+                # Two stand windows per pass.
+                u = cyc
+                for s0 in (0.22, 0.62):
+                    if u > s0:
+                        u_seg = min(u, s0 + stand_frac / 2) - s0
+                        u = u - u_seg  # standing does not advance
+                prog = u / (1.0 - stand_frac)
+                prog = min(max(prog, 0.0), 1.0)
             xw = x0 + span * prog
             out[i, m, 0] = (xw - wdt / 2, sy - 1.6, zw - wdt / 2)
             out[i, m, 1] = (xw + wdt / 2, sy, zw + wdt / 2)

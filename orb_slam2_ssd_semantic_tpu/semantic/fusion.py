@@ -106,6 +106,21 @@ def _camera_cloud(depth_img, cam: CameraConfig):
     return jnp.stack([xc, yc, zc], -1)  # (H, W, 3)
 
 
+def fuse_detections(
+    det: Detections,
+    depth_img: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: SemanticConfig = SemanticConfig(),
+):
+    """The engine's keyframe fusion entry: dispatches on
+    `cfg.fusion_scheme` — "depth_window" (Merge2d3d) or "merge_sg"
+    (the scheme the reference compiles in, MapDrawer.cc:79)."""
+    if cfg.fusion_scheme == "merge_sg":
+        return fuse_segmentation(det, depth_img, T_cw, cam, cfg)
+    return fuse_depth_window(det, depth_img, T_cw, cam, cfg)
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def estimate_normals(depth_img: jnp.ndarray, cam: CameraConfig):
     """Organized surface normals: cross product of the organized cloud's

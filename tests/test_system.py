@@ -11,8 +11,20 @@ from orb_slam2_ssd_semantic_tpu.system import SlamSystem
 
 @pytest.fixture(scope="module")
 def full_run():
+    import dataclasses
+
     seq = SyntheticSequence(n_frames=14)
-    sys_ = SlamSystem(SlamConfig(), enable_semantics=True, enable_dense_map=True)
+    # Dense keyframe cadence (every <=4 frames): the gentle 14-frame
+    # orbit otherwise yields a single keyframe under the reference's
+    # doubled KF throttle (Tracking.cc:2386), and occupancy voxels need
+    # >=2 scan hits to cross the 0.8 occupied threshold (hit=0.7,
+    # MapDrawer.cc:53-56 semantics).
+    base = SlamConfig()
+    cfg = dataclasses.replace(
+        base,
+        tracking=dataclasses.replace(base.tracking, max_frames_between_kfs=4),
+    )
+    sys_ = SlamSystem(cfg, enable_semantics=True, enable_dense_map=True)
     for i in range(len(seq)):
         stamp, rgb, depth = seq[i]
         sys_.track_rgbd(rgb, depth, stamp)
