@@ -336,6 +336,15 @@ class LoopConfig:
     # seed a px-accurate bidirectional Sim3 refinement.
     sim3_ransac_iters: int = 300
     sim3_min_inliers: int = 10
+    # 3D-3D RANSAC inlier thresholds (meters) for the loop-transform
+    # estimate: coarse pass (wide guided window) and fine re-fit pass.
+    # Sensor-dependent — the defaults suit near-exact depth; a noisy
+    # depth camera (sigma ~ 1.5% of z: ~0.09 m at 6 m, on BOTH sides of
+    # each 3D-3D pair) needs proportionally wider gates. The reference's
+    # Sim3Solver gates in PIXEL space scaled per-octave
+    # (Sim3Solver.cc:343); these are the 3D-domain equivalents.
+    sim3_ransac_threshold: float = 0.10
+    sim3_ransac_threshold_fine: float = 0.05
     # Matches needed to accept a loop after the guided map-neighborhood
     # re-search (the reference requires 40 after SearchByProjection,
     # LoopClosing.cc:522). At this engine's 1024-keypoint frames genuine

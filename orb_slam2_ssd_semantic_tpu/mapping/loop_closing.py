@@ -290,7 +290,7 @@ class LoopCloser:
         dst = pj[tgt]
         s, R, t, inl, n_inl = ransac_rigid(
             src, dst, m.valid, jax.random.PRNGKey(kf_id),
-            threshold=0.10, with_scale=False,
+            threshold=cfg.loop.sim3_ransac_threshold, with_scale=False,
         )
         n = int(n_inl)
         if n < cfg.loop.sim3_min_inliers:
@@ -328,7 +328,9 @@ class LoopCloser:
             # the aliasing pitch, recovering the full true set.
             T1 = jnp.asarray(T_seed)
             mg = None
-            for radius, ransac_th in ((40.0, 0.10), (8.0, 0.05)):
+            for radius, ransac_th in (
+                    (40.0, cfg.loop.sim3_ransac_threshold),
+                    (8.0, cfg.loop.sim3_ransac_threshold_fine)):
                 pi_in_j = se3.transform_points(T1, pi)
                 uv_pred, z_pred = cam_ops.project(pi_in_j, cam)
                 q_valid = vi & (z_pred > 0.05) & cam_ops.in_image(uv_pred, cam)

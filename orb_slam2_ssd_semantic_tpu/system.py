@@ -300,12 +300,15 @@ class SlamSystem:
         if depth.dtype == np.uint16:
             depth = depth.astype(np.float32) * 1e-3
         if self.detector is not None:
-            from orb_slam2_ssd_semantic_tpu.semantic.fusion import fuse_depth_window
+            from orb_slam2_ssd_semantic_tpu.semantic.fusion import fuse_detections
             from orb_slam2_ssd_semantic_tpu.semantic.object_db import add_objects
 
             rgb3 = rgb if rgb.ndim == 3 else np.repeat(rgb[..., None], 3, -1)
             det = self.detector(rgb3.astype(np.uint8))
-            c, s, p, cls, ok = fuse_depth_window(
+            # Scheme per cfg.semantic.fusion_scheme: depth_window
+            # (Merge2d3d) or merge_sg (the reference's compiled-in
+            # choice, MapDrawer.cc:79).
+            c, s, p, cls, ok = fuse_detections(
                 det, jnp.asarray(depth), jnp.asarray(T_cw), self.cfg.camera,
                 self.cfg.semantic,
             )
