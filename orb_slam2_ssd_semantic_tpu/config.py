@@ -345,6 +345,17 @@ class LoopConfig:
     # (Sim3Solver.cc:343); these are the 3D-domain equivalents.
     sim3_ransac_threshold: float = 0.10
     sim3_ransac_threshold_fine: float = 0.05
+    # Pose-guided re-search windows (px): the wide pass seeds matching
+    # through the CURRENT pose estimates (bounded by how far drift can
+    # deproject at the revisit), the fine pass re-matches below the
+    # texture-aliasing pitch after the first Sim3 fit; also the guided
+    # map-neighborhood confirmation window. The reference's equivalents
+    # are the SearchByProjection radii th=7.5/10 scaled per octave
+    # (LoopClosing.cc:480-543, ORBmatcher.cc:378-520). Larger wide
+    # windows tolerate more accumulated drift at the cost of aliasing
+    # pressure on repetitive texture.
+    guided_radius_wide: float = 40.0
+    guided_radius_fine: float = 8.0
     # Matches needed to accept a loop after the guided map-neighborhood
     # re-search (the reference requires 40 after SearchByProjection,
     # LoopClosing.cc:522). At this engine's 1024-keypoint frames genuine

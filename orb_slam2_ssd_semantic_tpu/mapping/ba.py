@@ -216,6 +216,18 @@ def local_bundle_adjust(
         e, J_pose, J_point, behind = _residual_components(T_cw, points, prob, cam)
         w = prob.inv_sigma2 * inlier_w * (~behind)
         chi = sum(e[r] * e[r] * comp_w[..., r] for r in range(3)) * prob.inv_sigma2
+        # Robust objective at the CURRENT state, from the residuals this
+        # step already computed: the per-iteration acceptance guard used
+        # to re-evaluate the full residual pass (`robust_cost`) after
+        # every step — ~1/3 of each iteration's kernels for a value the
+        # next step's own residual pass produces for free (VERDICT r4
+        # next #7: the local BA is latency-bound, not compute-bound).
+        rho_cost = jnp.where(
+            use_huber & (chi > delta * delta),
+            delta * (2.0 * jnp.sqrt(jnp.maximum(chi, 1e-12)) - delta),
+            chi,
+        )
+        cost_here = jnp.sum(rho_cost * inlier_w * (~behind))
         rho = jnp.where(
             use_huber & (chi > delta * delta),
             delta / jnp.sqrt(jnp.maximum(chi, 1e-12)),
@@ -340,7 +352,7 @@ def local_bundle_adjust(
 
         T_new = se3.se3_exp(dx_c) @ T_cw
         points_new = points + dx_p
-        return T_new, points_new
+        return T_new, points_new, cost_here
 
     T_cw = prob.T_cw
     points = prob.points
@@ -361,25 +373,40 @@ def local_bundle_adjust(
         # lax.scan, not a Python loop: the component-style gn_step
         # traces to a large graph and unrolling 15 copies multiplies
         # XLA compile time.
+        #
+        # Divergence guard as BEST-STATE tracking (g2o's LM
+        # accept/reject role): each gn_step returns the objective at
+        # the state it stepped FROM (free — computed from its own
+        # residual pass), and the scan keeps the lowest-cost state
+        # seen. Equivalent safety to the old reject-and-hold guard
+        # (whose rejected deterministic step simply re-ran and
+        # re-rejected every remaining iteration) without the extra
+        # full residual pass per iteration it cost.
         def body(carry, _):
-            T, pts, cost = carry
-            T_new, pts_new = gn_step(T, pts, inlier, use_huber)
-            # Monotonicity guard (g2o's LM accept/reject): a GN step on a
-            # degenerate window (e.g. a near-planar view with weak depth
-            # weighting) can increase the objective unboundedly; reject
-            # it and keep the previous state. One extra residual pass per
-            # iteration buys divergence-proof BA.
-            cost_new = robust_cost(T_new, pts_new, inlier, use_huber)
-            ok = cost_new < cost
-            T = jnp.where(ok, T_new, T)
-            pts = jnp.where(ok, pts_new, pts)
-            return (T, pts, jnp.where(ok, cost_new, cost)), None
+            T, pts, best = carry
+            best_T, best_pts, best_cost = best
+            T_new, pts_new, cost_here = gn_step(T, pts, inlier, use_huber)
+            better = cost_here < best_cost
+            best = (
+                jnp.where(better, T, best_T),
+                jnp.where(better, pts, best_pts),
+                jnp.where(better, cost_here, best_cost),
+            )
+            return (T_new, pts_new, best), None
 
-        cost0 = robust_cost(T_cw, points, inlier, use_huber)
-        (T_cw, points, _), _ = jax.lax.scan(
-            body, (T_cw, points, cost0), None, length=n_iters
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        (T_last, pts_last, best), _ = jax.lax.scan(
+            body, (T_cw, points, (T_cw, points, big)), None, length=n_iters
         )
-        return T_cw, points
+        best_T, best_pts, best_cost = best
+        # The final state's objective was never evaluated inside the
+        # scan; one closing pass decides between it and the best.
+        cost_last = robust_cost(T_last, pts_last, inlier, use_huber)
+        better = cost_last < best_cost
+        return (
+            jnp.where(better, T_last, best_T),
+            jnp.where(better, pts_last, best_pts),
+        )
 
     # Phase 1: robust iterations (reference: 5 iters with Huber).
     T_cw, points = phase(T_cw, points, inlier, True, cfg.local_ba_iters_initial)

@@ -329,8 +329,10 @@ class LoopCloser:
             T1 = jnp.asarray(T_seed)
             mg = None
             for radius, ransac_th in (
-                    (40.0, cfg.loop.sim3_ransac_threshold),
-                    (8.0, cfg.loop.sim3_ransac_threshold_fine)):
+                    (cfg.loop.guided_radius_wide,
+                     cfg.loop.sim3_ransac_threshold),
+                    (cfg.loop.guided_radius_fine,
+                     cfg.loop.sim3_ransac_threshold_fine)):
                 pi_in_j = se3.transform_points(T1, pi)
                 uv_pred, z_pred = cam_ops.project(pi_in_j, cam)
                 q_valid = vi & (z_pred > 0.05) & cam_ops.in_image(uv_pred, cam)
@@ -441,7 +443,7 @@ class LoopCloser:
         m = match_ops.match_by_window(
             desc, state.kfs.desc[kf_id], uv, state.kfs.uv[kf_id],
             q_valid, state.kfs.kp_valid[kf_id],
-            jnp.full((CAP,), 8.0, jnp.float32),
+            jnp.full((CAP,), cfg.loop.guided_radius_fine, jnp.float32),
             max_dist=match_ops.TH_LOW,
         )
         n_m = int(jnp.sum(m.valid))

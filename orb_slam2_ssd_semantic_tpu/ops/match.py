@@ -170,14 +170,16 @@ def match_by_window(
     (ops/pallas_match.py) — no (Q, T) intermediates touch HBM."""
     from orb_slam2_ssd_semantic_tpu.ops import pallas_match
 
-    if (
+    use_fused = (
         not mutual
         and pallas_match.use_pallas()
         and desc_q.shape[0] % 256 == 0
         and desc_t.shape[0] % 128 == 0
-    ):
-        best, _, best_idx = pallas_match.fused_window_match(
-            desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t
+    )
+    if use_fused:
+        best, _, best_idx, key_min = pallas_match.fused_window_match(
+            desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t,
+            max_dist=max_dist,
         )
         ok = best <= max_dist
         m = MatchResult(
@@ -185,6 +187,23 @@ def match_by_window(
             dist=jnp.where(ok, best, BIG),
             valid=ok,
         )
+        if angle_q is None or angle_t is None:
+            # Duplicate-target resolution straight from the kernel's
+            # accumulated claim keys: q keeps its target iff its packed
+            # (dist, q) key IS the per-target minimum — no scatter.
+            # (With a rotation filter the claim set changes post-kernel;
+            # that path resolves in XLA below.)
+            q_key = (
+                best * pallas_match._Q_STRIDE
+                + jnp.arange(best.shape[0], dtype=jnp.int32)
+            )
+            tgt = jnp.clip(m.idx, 0, desc_t.shape[0] - 1)
+            keep = m.valid & (q_key == key_min[tgt])
+            return MatchResult(
+                idx=jnp.where(keep, m.idx, -1),
+                dist=jnp.where(keep, m.dist, BIG),
+                valid=keep,
+            )
     else:
         dist = hamming_matrix(desc_q, desc_t)
         mask = window_mask(centers, uv_t, radius, valid_q, valid_t)

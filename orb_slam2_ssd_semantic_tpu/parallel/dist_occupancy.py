@@ -51,12 +51,30 @@ def make_sharded_grid(mesh, dims, resolution: float, origin):
     return lo, meta
 
 
+def make_sharded_colors(mesh, dims):
+    """Sharded per-voxel color accumulators matching make_sharded_grid's
+    slab layout: ((X, Y, Z, 3) color sum, (X, Y, Z) sample count)."""
+    n = mesh.shape[PT_AXIS]
+    X, Y, Z = dims
+    assert X % n == 0, f"X={X} must divide over {n} shards"
+    sh = NamedSharding(mesh, P(PT_AXIS))
+    color = jax.device_put(jnp.zeros((X, Y, Z, 3), jnp.float32), sh)
+    n_color = jax.device_put(jnp.zeros((X, Y, Z), jnp.float32), sh)
+    return color, n_color
+
+
 def make_sharded_insert(mesh, cfg: DenseMapConfig, dims, origin):
     """Compile the sharded per-scan insert.
 
     Returns insert(log_odds, origin_w, points_w, point_valid,
-    carve_only) -> log_odds. The scan arrays are replicated (P());
-    log_odds is sharded (P(PT_AXIS)) on its X axis."""
+    carve_only) -> log_odds — or, with per-point `colors` plus the
+    (color, n_color) accumulators from make_sharded_colors,
+    insert(..., colors=, color=, n_color=) ->
+    (log_odds, color, n_color): each shard runs the same first-ray
+    per-scan color dedup as the single-device insert (octomap
+    averageNodeColor parity, MapDrawer.cc:1009) on its own slab, so
+    mesh-mode dense maps keep colors (ADVICE r4). The scan arrays are
+    replicated (P()); log_odds/colors are sharded (P(PT_AXIS)) on X."""
     X, Y, Z = dims
     n = mesh.shape[PT_AXIS]
     Xs = X // n
@@ -68,7 +86,9 @@ def make_sharded_insert(mesh, cfg: DenseMapConfig, dims, origin):
     origin = jnp.asarray(origin, jnp.float32)
     S = cfg.max_ray_steps
 
-    def shard_body(lo, origin_w, points_w, point_valid, carve_only):
+    def _rasterize(lo, origin_w, points_w, point_valid, carve_only):
+        """Shared slab rasterization; returns the updated slab plus the
+        endpoint scatter targets for the optional color pass."""
         # This shard owns x-slab [idx*Xs, (idx+1)*Xs).
         idx = jax.lax.axis_index(PT_AXIS)
         slab_origin = origin + jnp.asarray(
@@ -111,18 +131,50 @@ def make_sharded_insert(mesh, cfg: DenseMapConfig, dims, origin):
         flat = flat + jnp.where(occ_mark[:V], lo_hit, 0.0) + jnp.where(
             free_mark[:V], lo_miss, 0.0
         )
-        return jnp.clip(flat, lo_min, lo_max).reshape(Xs, Y, Z)
+        return jnp.clip(flat, lo_min, lo_max).reshape(Xs, Y, Z), (
+            e_flat, e_ok, V)
+
+    def shard_body(lo, origin_w, points_w, point_valid, carve_only):
+        return _rasterize(lo, origin_w, points_w, point_valid, carve_only)[0]
+
+    def shard_body_color(lo, csum3, cn, origin_w, points_w, point_valid,
+                         carve_only, colors):
+        lo_new, (e_flat, e_ok, V) = _rasterize(
+            lo, origin_w, points_w, point_valid, carve_only)
+        # First-ray per-scan color dedup (dense/occupancy.py:140-160
+        # semantics), shard-local: e_flat already excludes out-of-slab
+        # endpoints via the V overflow bucket.
+        N = e_flat.shape[0]
+        first = jnp.full((V + 1,), N, jnp.int32).at[e_flat].min(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        )
+        is_first = e_ok & (first[e_flat] == jnp.arange(N, dtype=jnp.int32))
+        e_once = jnp.where(is_first, e_flat, V)
+        cs = csum3.reshape(-1, 3).at[e_once].add(colors, mode="drop")
+        cc = cn.reshape(-1).at[e_once].add(1.0, mode="drop")
+        return lo_new, cs.reshape(Xs, Y, Z, 3), cc.reshape(Xs, Y, Z)
 
     inner = shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(PT_AXIS), P(), P(), P(), P()),
         out_specs=P(PT_AXIS),
     )
+    inner_c = shard_map(
+        shard_body_color, mesh=mesh,
+        in_specs=(P(PT_AXIS), P(PT_AXIS), P(PT_AXIS), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P(PT_AXIS), P(PT_AXIS), P(PT_AXIS)),
+    )
 
     @jax.jit
-    def insert(log_odds, origin_w, points_w, point_valid, carve_only=None):
+    def insert(log_odds, origin_w, points_w, point_valid, carve_only=None,
+               colors=None, color=None, n_color=None):
         if carve_only is None:
             carve_only = jnp.zeros(point_valid.shape, bool)
-        return inner(log_odds, origin_w, points_w, point_valid, carve_only)
+        if colors is None:
+            return inner(log_odds, origin_w, points_w, point_valid,
+                         carve_only)
+        return inner_c(log_odds, color, n_color, origin_w, points_w,
+                       point_valid, carve_only, colors)
 
     return insert

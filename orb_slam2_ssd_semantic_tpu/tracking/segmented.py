@@ -247,17 +247,29 @@ def track_sequence_segmented(
         for i in events:
             cand = int(cands[i])
             if not valid[cand]:
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} cand slot "
+                          f"{cand} no longer valid")
                 continue
             slots = np.nonzero(valid & (fid == lo + i))[0]
             if not len(slots):
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} flagged but "
+                          "its keyframe was culled")
                 continue
             kf = int(slots[0])
             # Throttle: one correction per revisit neighborhood
             # (LoopClosing's mLastLoopKFid gate, LoopClosing.cc:129).
             if int(uid[kf]) - last_corrected_uid < cfg.loop.min_kfs_before_loop:
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} throttled "
+                          f"(uid {int(uid[kf])} vs last {last_corrected_uid})")
                 continue
             ok, T_ji, n_inl = lc._estimate_loop_transform(state, kf, cand)
             if not ok:
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} loop-transform "
+                          f"estimate failed ({n_inl} inliers)")
                 continue
             state_new, accepted = lc._correct(state, kf, cand, T_ji)
             if not accepted:

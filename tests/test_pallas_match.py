@@ -20,7 +20,7 @@ def _random_problem(rng, q=256, t=128):
 
 def test_fused_window_match_parity(rng):
     desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t = _random_problem(rng)
-    best, sec, idx = fused_window_match(
+    best, sec, idx, key_min = fused_window_match(
         desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t, interpret=True
     )
     dist = match_ops.hamming_matrix(desc_q, desc_t)
@@ -40,8 +40,45 @@ def test_fused_window_match_parity(rng):
 def test_fused_window_match_all_masked(rng):
     desc_q, desc_t, centers, uv_t, radius, _, valid_t = _random_problem(rng)
     valid_q = jnp.zeros((desc_q.shape[0],), bool)
-    best, sec, idx = fused_window_match(
+    best, sec, idx, key_min = fused_window_match(
         desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t, interpret=True
     )
     assert (np.asarray(best) == BIG).all()
     assert (np.asarray(sec) == BIG).all()
+
+
+def test_fused_claim_keys_match_scatter_resolution(rng):
+    """The kernel's accumulated per-target claim keys must reproduce the
+    XLA scatter-min duplicate resolution (resolve_duplicate_targets)
+    exactly — including the lowest-query-index tie-break (ORBmatcher.cc:
+    1634-1655 steal semantics)."""
+    from orb_slam2_ssd_semantic_tpu.ops.pallas_match import (
+        _Q_STRIDE,
+        _BIG_KEY,
+    )
+
+    # q=512 (two grid tiles) exercises the cross-tile key accumulation.
+    desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t = _random_problem(
+        rng, q=512, t=128)
+    # Random 256-bit descriptors: pairwise distances concentrate near
+    # 128 (sd ~8); 115 keeps a nonempty but selective claimed set.
+    max_dist = 115
+    best, sec, idx, key_min = fused_window_match(
+        desc_q, desc_t, centers, uv_t, radius, valid_q, valid_t,
+        max_dist=max_dist, interpret=True,
+    )
+    ok = best <= max_dist
+    m = match_ops.MatchResult(
+        idx=jnp.where(ok, idx, -1),
+        dist=jnp.where(ok, best, BIG),
+        valid=ok,
+    )
+    ref = match_ops.resolve_duplicate_targets(m, desc_t.shape[0])
+    q_key = best * _Q_STRIDE + jnp.arange(best.shape[0], dtype=jnp.int32)
+    tgt = jnp.clip(m.idx, 0, desc_t.shape[0] - 1)
+    keep = m.valid & (q_key == key_min[tgt])
+    assert bool(jnp.asarray(ref.valid).sum()) > 0, "vacuous scenario"
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(ref.valid))
+    unclaimed = np.ones(desc_t.shape[0], bool)
+    unclaimed[np.asarray(m.idx)[np.asarray(m.valid)]] = False
+    assert (np.asarray(key_min)[unclaimed] == _BIG_KEY).all()

@@ -11,7 +11,17 @@ from orb_slam2_ssd_semantic_tpu.tracking.scan_tracker import track_sequence
 
 @pytest.mark.slow
 def test_scan_tracker_end_to_end():
-    cfg = SlamConfig()
+    # Pin the keyframe cadence: under the default 30-frame throttle a
+    # gentle 24-frame orbit sits exactly at the ratio-rule boundary
+    # (host-FP-dependent 1-vs-2 keyframes); an 8-frame cadence makes the
+    # in-scan insertion machinery deterministic to exercise.
+    import dataclasses
+
+    from orb_slam2_ssd_semantic_tpu.config import TrackingConfig
+
+    base = SlamConfig()
+    cfg = dataclasses.replace(
+        base, tracking=TrackingConfig(max_frames_between_kfs=8))
     seq = SyntheticSequence(n_frames=24)
     grays, depths = [], []
     for i in range(len(seq)):
