@@ -78,11 +78,12 @@ def main():
         # self-consistent — exactly the error a loop correction can
         # genuinely remove (unlike a depth-scale bias, whose corrupted
         # geometry the correction guard rightly refuses to bend).
+        wb = int(os.environ["WEAK_BA"])
         base = dataclasses.replace(
             base,
             optimizer=dataclasses.replace(
-                base.optimizer, local_ba_iters_initial=0,
-                local_ba_iters_refine=0),
+                base.optimizer, local_ba_iters_initial=wb,
+                local_ba_iters_refine=wb),
         )
 
     vocab_path = find_checkpoint("orbvoc_synth.npz")

@@ -222,6 +222,16 @@ class OptimizerConfig:
     # matches that effective behavior at a deterministic cost.
     local_ba_iters_initial: int = 5
     local_ba_iters_refine: int = 5
+    # Gain-based early termination (g2o's terminateAction, which the
+    # reference's fixed schedules run under): stop a GN phase when the
+    # objective between consecutive iterations improves by less than
+    # this relative amount. Typical tracking windows converge in 2-4
+    # iterations; the schedule above is the worst-case bound. 1e-4
+    # stops one iteration past the noise-floor plateau (a 0.01%
+    # objective gain moves cm-scale geometry by far less than the
+    # 0.5 px observation noise floor); measured ATE-neutral on the
+    # bench circuit and the accuracy gates.
+    local_ba_min_rel_decrease: float = 1e-4
     # Global BA iterations on loop closure. The reference runs 10
     # (LoopClosing.cc:831) then keeps refining across subsequent loops;
     # 20 here lets one pass converge far enough that the cross-loop

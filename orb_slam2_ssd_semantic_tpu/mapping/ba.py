@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from orb_slam2_ssd_semantic_tpu.config import CameraConfig, OptimizerConfig
 from orb_slam2_ssd_semantic_tpu.geometry import se3
+from orb_slam2_ssd_semantic_tpu.ops import pallas_solve
 from orb_slam2_ssd_semantic_tpu.ops.linalg import inv3x3_cols
 
 
@@ -194,12 +195,13 @@ def local_bundle_adjust(
     slot = jnp.clip(prob.point_slot, 0, N - 1)
     slot_eff = jnp.where(obs_valid, slot, N)  # N = invalid bucket
     WK = W * K
-    # Global ordering by point slot (for Hpp/b_p sums over ALL rows).
-    perm_g = jnp.argsort(slot_eff.reshape(-1))
-    slot_g = slot_eff.reshape(-1)[perm_g]
     # Per-row ordering by slot: row-major flatten of per-row argsort is
     # sorted by the combined key w*(N+1)+slot (each (w, slot) pair is
-    # unique post-dedup, so this "sum" is a perfect scatter).
+    # unique post-dedup, so this "sum" is a perfect scatter). The global
+    # Hpp/b_p sums reuse this SAME ordering — the (c, W, N) per-row
+    # reduction summed over W — instead of a second, GLOBAL argsort
+    # (each 18k argsort is ~1.2 ms on TPU, ~25% of the whole BA call;
+    # MFU_r05 finding).
     order_r = jnp.argsort(slot_eff, axis=1)  # (W, K)
     perm_r = (
         jnp.arange(W, dtype=jnp.int32)[:, None] * K + order_r
@@ -266,19 +268,21 @@ def local_bundle_adjust(
             axis=0,
         )  # (18, W, K)
 
-        # Point sums over ALL rows: globally slot-sorted segment sum.
-        pp_flat = pp12.reshape(12, WK)[:, perm_g]  # (12, WK)
-        red = jax.ops.segment_sum(
-            pp_flat.T, slot_g, N + 1, indices_are_sorted=True
-        ).T[:, :N]  # (12, N)
+        # ONE per-row-sorted segment sum for BOTH the coupling blocks and
+        # the point sums: 30 stacked channels over the combined key (a
+        # perfect scatter; see perm_r above). The per-(pose,point) blocks
+        # come out directly; the global point sums are the per-row
+        # reduction summed over W.
+        stacked = jnp.concatenate(
+            [Hcp_c.reshape(18, WK), pp12.reshape(12, WK)], axis=0
+        )[:, perm_r]  # (30, WK)
+        red_r = jax.ops.segment_sum(
+            stacked.T, key_r, W * (N + 1), indices_are_sorted=True
+        ).T.reshape(30, W, N + 1)[..., :N]  # (30, W, N)
+        Hcp = red_r[:18]  # (18, W, N)
+        red = red_r[18:].sum(axis=1)  # (12, N)
         Hpp_cols = red[:9].reshape(3, 3, N)
         b_p = red[9:]  # (3, N)
-        # Coupling blocks per (pose, point): per-row-sorted segment sum
-        # over the combined key (a perfect scatter; see perm_r above).
-        hc_flat = Hcp_c.reshape(18, WK)[:, perm_r]
-        Hcp = jax.ops.segment_sum(
-            hc_flat.T, key_r, W * (N + 1), indices_are_sorted=True
-        ).T.reshape(18, W, N + 1)[..., :N]  # (18, W, N)
 
         # Damped point-block inverse in (3, 3, N) layout.
         lam = jnp.float32(cfg.lm_lambda_init)
@@ -326,12 +330,16 @@ def local_bundle_adjust(
         S_mat = S_mat + jnp.diag(
             1e-3 * S_diag + fixed_diag.astype(jnp.float32) + 1e-5
         )
-        # Direct solve: at 6W <= ~150 unknowns one XLA factorization is
-        # SHALLOWER than 32 sequential preconditioned-CG matvecs (each
-        # matvec is a tiny latency-bound dispatch; 15 GN iterations x 32
-        # matvecs was ~half the keyframe-event wall time), and the exact
-        # step keeps the monotonicity guard accepting.
-        dx = jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(6, W)
+        # Direct solve. On TPU the 6W-dim damped-SPD system runs as ONE
+        # fused Pallas Gauss-Jordan kernel (~30 us) — jnp.linalg.solve's
+        # LU is ~n sequential XLA steps (0.57 ms at 6W=108, ~65% of each
+        # GN iteration; MFU_r05). Exactness either way keeps the
+        # best-state guard accepting; CG at this size was worse still
+        # (32 latency-bound matvecs per solve).
+        if S_mat.shape[0] <= 128 and pallas_solve.use_pallas():
+            dx = pallas_solve.spd_solve(S_mat, rhs.reshape(-1)).reshape(6, W)
+        else:
+            dx = jnp.linalg.solve(S_mat, rhs.reshape(-1)).reshape(6, W)
         dx = dx * free_pose[None, :]
         # Trust region: a GN step beyond ~0.5 rad / 0.5 m is never a
         # descent step on a real local-BA window — clamp instead of
@@ -358,32 +366,36 @@ def local_bundle_adjust(
     points = prob.points
     inlier = obs_valid.astype(jnp.float32)
 
-    def robust_cost(T, pts, inlier, use_huber):
-        """Total robust objective (Huberized chi2) for the accept gate."""
-        e, behind = _residuals(T, pts, prob, cam)
-        chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
-        rho = jnp.where(
-            use_huber & (chi > delta * delta),
-            delta * (2.0 * jnp.sqrt(jnp.maximum(chi, 1e-12)) - delta),
-            chi,
-        )
-        return jnp.sum(rho * inlier * (~behind))
-
     def phase(T_cw, points, inlier, use_huber, n_iters):
-        # lax.scan, not a Python loop: the component-style gn_step
+        # lax.while_loop, not a Python loop: the component-style gn_step
         # traces to a large graph and unrolling 15 copies multiplies
         # XLA compile time.
         #
         # Divergence guard as BEST-STATE tracking (g2o's LM
         # accept/reject role): each gn_step returns the objective at
         # the state it stepped FROM (free — computed from its own
-        # residual pass), and the scan keeps the lowest-cost state
+        # residual pass), and the loop keeps the lowest-cost state
         # seen. Equivalent safety to the old reject-and-hold guard
         # (whose rejected deterministic step simply re-ran and
         # re-rejected every remaining iteration) without the extra
         # full residual pass per iteration it cost.
-        def body(carry, _):
-            T, pts, best = carry
+        #
+        # EARLY TERMINATION (g2o's gain-based terminateAction, which the
+        # reference's fixed 5/10 schedules run under): once the
+        # objective between consecutive states improves by less than
+        # `local_ba_min_rel_decrease`, further solves only re-derive the
+        # same state — stop. Typical tracking windows converge in 2-4
+        # iterations; the full schedule is the worst-case bound, not the
+        # common cost (VERDICT r4 next #7).
+        min_dec = cfg.local_ba_min_rel_decrease
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+
+        def cond(st):
+            i, done, _T, _pts, _best, _prev = st
+            return (i < n_iters) & ~done
+
+        def body(st):
+            i, _done, T, pts, best, prev_cost = st
             best_T, best_pts, best_cost = best
             T_new, pts_new, cost_here = gn_step(T, pts, inlier, use_huber)
             better = cost_here < best_cost
@@ -392,32 +404,58 @@ def local_bundle_adjust(
                 jnp.where(better, pts, best_pts),
                 jnp.where(better, cost_here, best_cost),
             )
-            return (T_new, pts_new, best), None
+            done = cost_here > (1.0 - min_dec) * prev_cost
+            return i + 1, done, T_new, pts_new, best, cost_here
 
-        big = jnp.float32(jnp.finfo(jnp.float32).max)
-        (T_last, pts_last, best), _ = jax.lax.scan(
-            body, (T_cw, points, (T_cw, points, big)), None, length=n_iters
+        _, _, T_last, pts_last, best, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.bool_(False), T_cw, points,
+             (T_cw, points, big), big),
         )
+        return T_last, pts_last, best
+
+    def eval_state(T, pts, inlier, use_huber):
+        """One residual pass yielding BOTH the phase-closing objective
+        and the chi2/behind the subsequent gate needs — the separate
+        robust_cost + _residuals passes per phase were ~15% of the BA
+        wall (MFU_r05)."""
+        e, behind = _residuals(T, pts, prob, cam)
+        chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
+        rho = jnp.where(
+            use_huber & (chi > delta * delta),
+            delta * (2.0 * jnp.sqrt(jnp.maximum(chi, 1e-12)) - delta),
+            chi,
+        )
+        cost = jnp.sum(rho * inlier * (~behind))
+        return cost, chi, behind
+
+    def finish_phase(T_last, pts_last, best, inlier, use_huber):
+        """Close a phase: decide last-vs-best with one pass at the last
+        state; re-evaluate chi only in the rare best-wins branch."""
         best_T, best_pts, best_cost = best
-        # The final state's objective was never evaluated inside the
-        # scan; one closing pass decides between it and the best.
-        cost_last = robust_cost(T_last, pts_last, inlier, use_huber)
-        better = cost_last < best_cost
-        return (
-            jnp.where(better, T_last, best_T),
-            jnp.where(better, pts_last, best_pts),
+        cost_l, chi_l, behind_l = eval_state(T_last, pts_last, inlier,
+                                             use_huber)
+        use_last = cost_l < best_cost
+        T = jnp.where(use_last, T_last, best_T)
+        pts = jnp.where(use_last, pts_last, best_pts)
+        chi, behind = jax.lax.cond(
+            use_last,
+            lambda: (chi_l, behind_l),
+            lambda: eval_state(best_T, best_pts, inlier, use_huber)[1:],
         )
+        return T, pts, chi, behind
 
     # Phase 1: robust iterations (reference: 5 iters with Huber).
-    T_cw, points = phase(T_cw, points, inlier, True, cfg.local_ba_iters_initial)
-    # Outlier gate (Optimizer.cc:850-886).
-    e, behind = _residuals(T_cw, points, prob, cam)
-    chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
+    T_last, pts_last, best = phase(
+        T_cw, points, inlier, True, cfg.local_ba_iters_initial)
+    # Outlier gate (Optimizer.cc:850-886) from the closing pass.
+    T_cw, points, chi, behind = finish_phase(T_last, pts_last, best,
+                                             inlier, True)
     inlier = (obs_valid & (chi < chi2_th) & (~behind)).astype(jnp.float32)
     # Phase 2: clean iterations (reference: 10 more without kernel).
-    T_cw, points = phase(T_cw, points, inlier, False, cfg.local_ba_iters_refine)
-
-    e, behind = _residuals(T_cw, points, prob, cam)
-    chi = _obs_chi2(e, prob.inv_sigma2, comp_w)
+    T_last, pts_last, best = phase(
+        T_cw, points, inlier, False, cfg.local_ba_iters_refine)
+    T_cw, points, chi, behind = finish_phase(T_last, pts_last, best,
+                                             inlier, False)
     final_inlier = obs_valid & (chi < chi2_th) & (~behind)
     return BAResult(T_cw, points, final_inlier, chi)
