@@ -117,6 +117,10 @@ def main():
     # (TUM3.yaml): ThDepth=80 extends the close-point range to ~6 m for
     # the 8x10 m room; capacities sized for the workload.
     base = SlamConfig()
+    opt = base.optimizer
+    if os.environ.get("BENCH_MIN_DEC"):  # diagnostic: BA early-exit gain
+        opt = dataclasses.replace(
+            opt, local_ba_min_rel_decrease=float(os.environ["BENCH_MIN_DEC"]))
     cfg = dataclasses.replace(
         base,
         camera=dataclasses.replace(base.camera, th_depth=80.0),
@@ -124,6 +128,7 @@ def main():
             base.map, max_keyframes=128, max_map_points=16384
         ),
         tracking=dataclasses.replace(base.tracking, local_map_candidates=1536),
+        optimizer=opt,
     )
     # The dynamic scene's masks stay live through the corrupting close
     # walker passes with a 45% static-area floor (the reference

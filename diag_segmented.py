@@ -51,9 +51,34 @@ def main():
         n_frames=N, cam=SMALL_CAM, trajectory="loop", loop_laps=LAPS,
         depth_noise=NOISE,
     )
+    walkers = None
+    if os.environ.get("WALKERS"):
+        from orb_slam2_ssd_semantic_tpu.io.synthetic import loop_walkers
+
+        walkers = loop_walkers(N, seq.room.size, laps=LAPS,
+                               n_objects=int(os.environ["WALKERS"]),
+                               style="stand_drift")
+        # Transient corruption: walkers leave after this fraction of the
+        # run (drop through the floor), so the post-corruption revisits
+        # measure the accumulated drift against a CLEAN scene.
+        wstart = float(os.environ.get("WSTART", "0.0"))
+        wcut = float(os.environ.get("WCUT", "1.0"))
+        if wstart > 0.0:
+            walkers[:int(wstart * N)] = 1e3
+        if wcut < 1.0:
+            walkers[int(wcut * N):] = 1e3  # outside the room, unrendered
     grays, depths = [], []
     for i in range(len(seq)):
-        g, d = seq.gray_depth(i)
+        if walkers is not None:
+            saved = seq.room.boxes
+            seq.room.boxes = saved + [tuple(map(tuple, w))
+                                      for w in walkers[i]]
+            try:
+                g, d = seq.gray_depth(i)
+            finally:
+                seq.room.boxes = saved
+        else:
+            g, d = seq.gray_depth(i)
         grays.append(np.clip(g, 0, 255).astype(np.uint8))
         depths.append((d * DEPTH_BIAS * 1000).astype(np.uint16))
     g_dev = jnp.asarray(np.stack(grays))
@@ -61,7 +86,8 @@ def main():
 
     base = SlamConfig(
         camera=SMALL_CAM,
-        orb=OrbConfig(n_features=600, max_keypoints=640),
+        orb=OrbConfig(n_features=int(os.environ.get("N_FEAT", "600")),
+                      max_keypoints=int(os.environ.get("N_KP", "640"))),
         map=dataclasses.replace(
             SlamConfig().map, max_keyframes=64, max_map_points=8192),
         tracking=TrackingConfig(max_frames_between_kfs=8,
@@ -70,7 +96,10 @@ def main():
             SlamConfig().loop, enabled=True, min_kfs_before_loop=6,
             min_total_matches=int(os.environ.get("MTM", "30")),
             guided_radius_wide=float(os.environ.get("RADW", "40")),
-            guided_radius_fine=float(os.environ.get("RADF", "8"))),
+            guided_radius_fine=float(os.environ.get("RADF", "8")),
+            min_correction_translation=float(os.environ.get("MCT", "0.05")),
+            sim3_ransac_threshold=float(os.environ.get("SRT", "0.10")),
+            sim3_ransac_threshold_fine=float(os.environ.get("SRTF", "0.05"))),
     )
     if os.environ.get("WEAK_BA"):
         # Drift injection via WEAKENED local BA (VERDICT r4 next #3):

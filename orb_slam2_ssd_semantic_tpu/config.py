@@ -397,8 +397,18 @@ class LoopConfig:
     # "correction" would only inject that noise into a consistent
     # trajectory. The reference has no such gate (its drifts are always
     # large); this engine's implicit revisit re-association keeps drift
-    # at cm scale, where the gate matters.
-    min_correction_translation: float = 0.03
+    # at cm scale, where the gate matters. The floor must not sit below
+    # the loop-transform MEASUREMENT floor: the fine 3D-3D inlier gate
+    # is sim3_ransac_threshold_fine (0.05 m) and the guided wide-refit
+    # Horn fit lands within ~5-9 cm of truth on rendered 640x480 RGB-D
+    # (r5 measurements: applied corrections at 4-9 cm discrepancy
+    # consistently DEGRADED 3-5 cm-ATE runs — the applied transform's
+    # error exceeded the drift it "fixed", e.g. 0.053 -> 0.097 m). The
+    # floor therefore sits above the transform measurement error:
+    # correct only what you can measure. Real loop-closure regimes
+    # (the reference's 0.4-0.7 m drifts; walker-corrupted runs here)
+    # clear it by multiples.
+    min_correction_translation: float = 0.12
     min_correction_rotation_deg: float = 0.5
     # Monotone acceptance: revert a loop correction whose post-GBA map
     # consistency (median reprojection error) is worse than before the

@@ -160,6 +160,18 @@ def track_sequence_segmented(
     scan_s = 0.0
     correct_s = 0.0
     last_corrected_uid = -(10**9)
+    # Transform-level consistency confirmation: a correction applies
+    # only after TWO independently-verified loop-transform estimates
+    # (different query frames) imply the SAME correction. Guided
+    # confirmation with 60+ matches still passes texture-cell-aliased
+    # transforms (r5: >=12 cm phantom "discrepancies" on a 3 cm-ATE
+    # run, bending healthy trajectories), and the post-GBA reprojection
+    # guard is gauge-blind to the bend. Aliased estimates lock onto
+    # DIFFERENT cells frame to frame and disagree; true revisits
+    # re-measure the same drift. This is the reference's
+    # 3-consecutive-consistency idea (LoopClosing.cc:200-290) lifted
+    # from detection level to transform level.
+    pending_est = None  # (uid, cand_uid, D_t (3,))
 
     def dispatch(carry_in, s):
         """Launch segment s asynchronously; returns (carry_after,
@@ -271,6 +283,30 @@ def track_sequence_segmented(
                     print(f"# segmented: frame {lo + int(i)} loop-transform "
                           f"estimate failed ({n_inl} inliers)")
                 continue
+            # Implied correction D = measured vs current relative pose.
+            T_cur_rel = np.asarray(state.kfs.T_cw[kf]) @ np.linalg.inv(
+                np.asarray(state.kfs.T_cw[cand]))
+            D_t = (np.asarray(T_ji) @ np.linalg.inv(T_cur_rel))[:3, 3]
+            est = (int(uid[kf]), int(uid[cand]), D_t)
+            if pending_est is None or (
+                est[0] - pending_est[0] > cfg.loop.min_kfs_before_loop
+            ):
+                pending_est = est
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} first verified "
+                          f"estimate (|D|={np.linalg.norm(D_t):.3f} m) — "
+                          "awaiting confirmation")
+                continue
+            diff = float(np.linalg.norm(D_t - pending_est[2]))
+            scale = max(float(np.linalg.norm(D_t)),
+                        float(np.linalg.norm(pending_est[2])))
+            if diff > 0.25 * scale + 0.02:
+                if verbose:
+                    print(f"# segmented: frame {lo + int(i)} estimate "
+                          f"disagrees with pending ({diff:.3f} m vs "
+                          f"|D|={scale:.3f}) — aliasing suspected; replaced")
+                pending_est = est
+                continue
             state_new, accepted = lc._correct(state, kf, cand, T_ji)
             if not accepted:
                 if verbose:
@@ -285,6 +321,7 @@ def track_sequence_segmented(
                 continue
             state = state_new
             corrected = True
+            pending_est = None
             last_corrected_uid = int(uid[kf])
             corrections.append((lo + int(i), kf, cand,
                                 time.perf_counter() - t_corr))
